@@ -1,0 +1,29 @@
+"""sketchlib — PySpark-native distributed sketch / approximate-aggregation
+library.
+
+From-scratch reimplementation of the query semantics of
+crepererum-oss/pdatastructs.rs (reference read-only at /root/reference)
+as mergeable aggregators for Apache Spark: pure-numpy kernels
+(HyperLogLog++, Count-Min, Bloom, t-digest, KLL, reservoir, top-k) plus a
+DataFrame-level two-stage partial/final merge topology built on
+mapInArrow/applyInPandas — no per-row Python anywhere.
+"""
+
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .codec import SketchCodecError, SketchParamMismatch
+from .hll import HLL
+from .kll import KLL
+from .tdigest import TDigest
+
+__all__ = [
+    "HLL",
+    "CountMinSketch",
+    "BloomFilter",
+    "TDigest",
+    "KLL",
+    "SketchCodecError",
+    "SketchParamMismatch",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,135 @@
+"""Count-Min sketch — approximate per-item frequency with a ≤ â ≤ a + ε·N
+guarantee at probability ≥ 1−δ.
+
+Behavioral spec from the reference:
+
+- sizing: ``with_params(w, d)`` or from the error bound
+  ``w = ceil(e/ε)``, ``d = ceil(ln(1/δ))``
+  (/root/reference/src/countminsketch.rs:148-206; golden ε=.01, δ=.1 →
+  w=272, d=3, countminsketch.rs:337-341)
+- update: d positions from enhanced double hashing; ``table[i, pos_i] += n``
+  with overflow as a hard error (countminsketch.rs:231-249)
+- point query: ``min_i table[i, pos_i]`` (countminsketch.rs:251-262)
+- merge: element-wise checked sum, params must match
+  (countminsketch.rs:264-292)
+
+Counters are uint64 with an explicit headroom check (the analogue of the
+reference's ``checked_add``): at 10^12-token scale a u32 would overflow.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .codec import SketchCodecError, check_mergeable, pack, unpack
+from .hashing import DEFAULT_SEED, hash_i64, k_positions
+
+_U = np.uint64
+# Beyond this, one more merge/add of two valid tables could wrap uint64.
+_MAX_COUNTER = np.uint64(1) << np.uint64(62)
+
+KIND = "cms"
+
+
+class CountMinSketch:
+    __slots__ = ("w", "d", "seed", "table")
+
+    def __init__(self, w: int, d: int, seed: int = DEFAULT_SEED, table: np.ndarray | None = None):
+        if w <= 0 or d <= 0:
+            raise ValueError(f"w ({w}) and d ({d}) must be > 0")
+        self.w = int(w)
+        self.d = int(d)
+        self.seed = int(seed)
+        if table is None:
+            table = np.zeros((self.d, self.w), dtype=np.uint64)
+        else:
+            table = np.asarray(table, dtype=np.uint64)
+            if table.shape != (self.d, self.w):
+                raise ValueError(f"table must have shape {(self.d, self.w)}")
+        self.table = table
+
+    @classmethod
+    def with_point_query_properties(cls, epsilon: float, delta: float, seed: int = DEFAULT_SEED) -> "CountMinSketch":
+        """w = ceil(e/ε), d = ceil(ln(1/δ)) — same formula as the reference
+        (countminsketch.rs:192-206)."""
+        if not (0.0 < epsilon):
+            raise ValueError(f"epsilon ({epsilon}) must be > 0")
+        if not (0.0 < delta < 1.0):
+            raise ValueError(f"delta ({delta}) must be in (0, 1)")
+        w = int(math.ceil(math.e / epsilon))
+        d = int(math.ceil(math.log(1.0 / delta)))
+        return cls(w, d, seed)
+
+    def params(self) -> dict:
+        return {"w": self.w, "d": self.d, "seed": self.seed}
+
+    def is_empty(self) -> bool:
+        return not self.table.any()
+
+    def clear(self) -> None:
+        self.table[:] = 0
+
+    # -- update -----------------------------------------------------
+    def update_hashed(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """Add a batch of (pre-hashed) elements; ``counts`` defaults to 1
+        per element. Callers should pre-aggregate duplicates (np.unique)
+        for speed — correctness does not depend on it."""
+        h = np.asarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return
+        if counts is None:
+            counts = np.ones(h.shape, dtype=np.uint64)
+        else:
+            counts = np.asarray(counts).astype(np.uint64)
+        pos = k_positions(h, self.d, self.w, self.seed)
+        for i in range(self.d):
+            np.add.at(self.table[i], pos[i].astype(np.int64), counts)
+        if self.table.max() > _MAX_COUNTER:
+            raise OverflowError("CountMinSketch counter overflow (u64 headroom exceeded)")
+
+    def update(self, values: np.ndarray) -> None:
+        """Consume raw integer elements: pre-aggregates duplicates then adds."""
+        v = np.asarray(values)
+        if v.size == 0:
+            return
+        uniq, counts = np.unique(v, return_counts=True)
+        self.update_hashed(hash_i64(uniq, self.seed), counts)
+
+    # -- query ------------------------------------------------------
+    def query_points(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized point queries: min over the d rows, per value."""
+        v = np.asarray(values)
+        if v.size == 0:
+            return np.zeros(0, dtype=np.uint64)
+        h = hash_i64(v, self.seed)
+        pos = k_positions(h, self.d, self.w, self.seed)
+        est = self.table[0][pos[0].astype(np.int64)]
+        for i in range(1, self.d):
+            est = np.minimum(est, self.table[i][pos[i].astype(np.int64)])
+        return est
+
+    def total(self) -> int:
+        """N = total weight added (any single row sums to it)."""
+        return int(self.table[0].sum())
+
+    # -- merge ------------------------------------------------------
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        check_mergeable(KIND, self.params(), other.params())
+        self.table += other.table
+        if self.table.max() > _MAX_COUNTER:
+            raise OverflowError("CountMinSketch counter overflow in merge")
+        return self
+
+    # -- serde ------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return pack(KIND, self.params(), self.table.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        kind, params, payload = unpack(data)
+        if kind != KIND:
+            raise SketchCodecError(f"expected {KIND} state, got {kind}")
+        table = np.frombuffer(payload, dtype=np.uint64).reshape(params["d"], params["w"])
+        return cls(params["w"], params["d"], params["seed"], table.copy())
