@@ -1,0 +1,384 @@
+"""Spark aggregation layer: the two-stage partial/final sketch topology.
+
+This is the distributed expression of the reference's lifecycle
+``new → add* → merge* → query`` (SURVEY.md §3):
+
+stage 1 (*build partials*, :func:`build_partials`)
+    ``mapInArrow`` over the input — each input partition consumes its own
+    rows (NO shuffle of raw data; at 100 TB the raw table never moves)
+    and emits one tiny state row per (group, sketch) it saw. Token
+    arrays flow zero-copy: Arrow ``ListArray.flatten()`` → numpy → the
+    vectorized kernels. No per-row Python anywhere.
+
+stage 2 (*tree merge*, :func:`merge_partials`)
+    the only shuffle in the job moves kilobyte-scale state rows. A
+    salted intermediate level (``fanout``) bounds any single reducer to
+    ~#partitions/fanout states — the treeAggregate shape, expressed with
+    ``applyInPandas`` because Python has no binary-state Aggregator API
+    (SURVEY.md §4 custom item 1). Merges are associative + commutative
+    (reference merge-equivalence contract, hyperloglog/mod.rs:556-574),
+    so partition order and salt layout never change results.
+
+Skew note: build-side skew cannot occur — stage 1 never groups rows, a
+hot group simply yields partial rows from many partitions, which is
+exactly what the merge tree absorbs. Input-side salting helpers for the
+grouped path live in :mod:`sketchlib.salt`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DataType,
+    DateType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    DoubleType,
+    FloatType,
+    BooleanType,
+)
+
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .hll import HLL
+from .kll import KLL
+from .tdigest import TDigest
+
+KERNELS = {
+    "hll": HLL,
+    "cms": CountMinSketch,
+    "bloom": BloomFilter,
+    "tdigest": TDigest,
+    "kll": KLL,
+}
+
+_NUMERIC_KINDS = ("tdigest", "kll")  # consume float64
+_HASHED_KINDS = ("hll", "cms", "bloom")  # consume int64 (hashed internally)
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build: which kernel, over which column, with which
+    params. ``col`` may be a scalar numeric column, a string column
+    (pre-hashed JVM-side via xxhash64 — never per-row Python), or an
+    ``array<int>`` column (consumed flattened, zero-copy)."""
+
+    name: str
+    kind: str
+    col: str
+    params: dict = field(default_factory=dict)
+    weight_col: str | None = None  # tdigest only
+
+    def make(self):
+        return KERNELS[self.kind](**self.params)
+
+
+def _deserialize(kind: str, blob: bytes):
+    return KERNELS[kind].from_bytes(bytes(blob))
+
+
+def load_state(blob: bytes):
+    """Deserialize any sketch state blob to its kernel object."""
+    from .codec import unpack
+
+    kind, _, _ = unpack(bytes(blob))
+    return _deserialize(kind, blob)
+
+
+# ---------------------------------------------------------------------------
+# schema helpers
+# ---------------------------------------------------------------------------
+
+_PA_BY_SPARK = {
+    StringType: pa.string(),
+    LongType: pa.int64(),
+    IntegerType: pa.int32(),
+    ShortType: pa.int16(),
+    DoubleType: pa.float64(),
+    FloatType: pa.float32(),
+    BooleanType: pa.bool_(),
+    DateType: pa.date32(),
+    TimestampType: pa.timestamp("us", tz="UTC"),
+}
+
+
+def _pa_type(dt: DataType) -> pa.DataType:
+    for k, v in _PA_BY_SPARK.items():
+        if isinstance(dt, k):
+            return v
+    raise TypeError(f"unsupported group column type for sketch agg: {dt}")
+
+
+def partials_schema(df: DataFrame, group_cols: list[str]) -> StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return StructType(
+        fields
+        + [
+            StructField("sketch", StringType(), False),
+            StructField("state", BinaryType(), False),
+            StructField("n_updates", LongType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("part_id", IntegerType(), False),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 1: build partials (mapInArrow, no input shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_specs(df: DataFrame, specs: list[SketchSpec]) -> tuple[DataFrame, list[SketchSpec]]:
+    """Pre-hash string-valued sketch inputs JVM-side (xxhash64) so Python
+    only ever sees fixed-width integers."""
+    out = df
+    resolved = []
+    for spec in specs:
+        dt = out.schema[spec.col].dataType
+        if isinstance(dt, StringType) and spec.kind in _HASHED_KINDS:
+            hcol = f"__h__{spec.col}"
+            if hcol not in out.columns:
+                out = out.withColumn(hcol, F.xxhash64(spec.col))
+            resolved.append(replace(spec, col=hcol))
+        else:
+            resolved.append(spec)
+    return out, resolved
+
+
+def _column_values(batch: pa.RecordBatch, col: str, want_float: bool):
+    """Extract (values ndarray, row_index_per_value ndarray) from a batch
+    column. Array columns flatten zero-copy; row index maps each value
+    back to its originating row for group assignment."""
+    arr = batch.column(col)
+    n = batch.num_rows
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        lengths = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        values = arr.flatten().to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    else:
+        if arr.null_count:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            values = arr.fill_null(0).to_numpy(zero_copy_only=False)
+            row_idx = np.flatnonzero(valid)
+            values = values[row_idx]
+        else:
+            values = arr.to_numpy(zero_copy_only=False)
+            row_idx = np.arange(n, dtype=np.int64)
+    if want_float:
+        values = values.astype(np.float64, copy=False)
+    return values, row_idx
+
+
+def build_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    skip_parts: frozenset[int] | None = None,
+) -> DataFrame:
+    """Stage 1: one pass over the input, one state row per
+    (input-partition ∩ group, sketch). Schema:
+    ``group_cols..., sketch, state, n_updates, n_rows, part_id``.
+
+    ``skip_parts``: partition ids whose partials already exist in a
+    checkpoint (see :mod:`sketchlib.checkpoint`) — those tasks emit
+    nothing and pull no batches."""
+    if not specs:
+        raise ValueError("need at least one SketchSpec")
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate sketch names: {names}")
+    out_schema = partials_schema(df, group_cols)
+    hashed_df, rspecs = _resolve_specs(df, specs)
+    needed = list(
+        dict.fromkeys(
+            group_cols
+            + [s.col for s in rspecs]
+            + [s.weight_col for s in rspecs if s.weight_col]
+        )
+    )
+    narrow = hashed_df.select(*needed)
+    pa_group_types = [_pa_type(narrow.schema[c].dataType) for c in group_cols]
+    specs_payload = [(s.name, s.kind, s.col, dict(s.params), s.weight_col) for s in rspecs]
+
+    def fn(batches: Iterable[pa.RecordBatch]):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else -1
+        if skip_parts and part_id in skip_parts:
+            return
+        states: dict = {}  # (gkey, name) -> kernel
+        n_updates: dict = {}
+        n_rows: dict = {}
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if group_cols:
+                gpdf = batch.select(group_cols).to_pandas()
+                if len(group_cols) == 1:
+                    codes, uniques = pd.factorize(gpdf[group_cols[0]], use_na_sentinel=False)
+                    uniq_keys = [(u,) for u in uniques]
+                else:
+                    mi = pd.MultiIndex.from_frame(gpdf)
+                    codes, uniques = pd.factorize(mi, use_na_sentinel=False)
+                    uniq_keys = [tuple(u) for u in uniques]
+            else:
+                codes = np.zeros(n, dtype=np.int64)
+                uniq_keys = [()]
+            for gi, gkey in enumerate(uniq_keys):
+                n_rows[gkey] = n_rows.get(gkey, 0) + int((codes == gi).sum())
+
+            col_cache: dict = {}
+            for name, kind, col, params, wcol in specs_payload:
+                want_float = kind in _NUMERIC_KINDS
+                ck = (col, want_float)
+                if ck not in col_cache:
+                    col_cache[ck] = _column_values(batch, col, want_float)
+                values, row_idx = col_cache[ck]
+                if values.size == 0:
+                    continue
+                vgroups = codes[row_idx]
+                weights = None
+                if wcol is not None:
+                    warr, wrow = _column_values(batch, wcol, True)
+                    if not np.array_equal(wrow, row_idx):
+                        raise ValueError(f"weight col {wcol} nulls misaligned with {col}")
+                    weights = warr
+                for gi, gkey in enumerate(uniq_keys):
+                    mask = vgroups == gi
+                    vals = values[mask]
+                    if vals.size == 0:
+                        continue
+                    skey = (gkey, name)
+                    kernel = states.get(skey)
+                    if kernel is None:
+                        kernel = KERNELS[kind](**params)
+                        states[skey] = kernel
+                        n_updates[skey] = 0
+                    if kind == "tdigest" and weights is not None:
+                        kernel.update(vals, weights[mask])
+                    else:
+                        kernel.update(vals)
+                    n_updates[skey] += int(vals.size)
+
+        if not states:
+            return
+        gvals: list[list] = [[] for _ in group_cols]
+        sk_names, blobs, upds, rows = [], [], [], []
+        for (gkey, name), kernel in states.items():
+            for i, v in enumerate(gkey):
+                gvals[i].append(v)
+            sk_names.append(name)
+            blobs.append(kernel.to_bytes())
+            upds.append(n_updates[(gkey, name)])
+            rows.append(n_rows[gkey])
+        arrays = [
+            pa.array(vals, type=t) for vals, t in zip(gvals, pa_group_types)
+        ] + [
+            pa.array(sk_names, type=pa.string()),
+            pa.array(blobs, type=pa.binary()),
+            pa.array(upds, type=pa.int64()),
+            pa.array(rows, type=pa.int64()),
+            pa.array([part_id] * len(sk_names), type=pa.int32()),
+        ]
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=group_cols + ["sketch", "state", "n_updates", "n_rows", "part_id"]
+        )
+
+    return narrow.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: tree merge (the only shuffle; rows are kilobytes of state)
+# ---------------------------------------------------------------------------
+
+
+def merged_schema(partials: DataFrame, group_cols: list[str]) -> StructType:
+    fields = [partials.schema[c] for c in group_cols]
+    return StructType(
+        fields
+        + [
+            StructField("sketch", StringType(), False),
+            StructField("state", BinaryType(), False),
+            StructField("n_updates", LongType(), False),
+            StructField("n_partials", LongType(), False),
+        ]
+    )
+
+
+def _make_merge_fn(group_cols: list[str]):
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical merge order: shuffle arrival order is nondeterministic,
+        # and t-digest/KLL merges are only *value*-associative, not
+        # byte-associative — sorting the blobs makes every rerun of the
+        # same tree shape byte-identical (checkpoint resume contract)
+        blobs = sorted(bytes(b) for b in pdf["state"])
+        kernel = load_state(blobs[0])
+        for blob in blobs[1:]:
+            kernel.merge(load_state(blob))
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["sketch"] = [pdf["sketch"].iloc[0]]
+        row["state"] = [kernel.to_bytes()]
+        row["n_updates"] = [int(pdf["n_updates"].sum())]
+        row["n_partials"] = [int(pdf["n_partials"].sum()) if "n_partials" in pdf else len(pdf)]
+        return pd.DataFrame(row)
+
+    return merge_fn
+
+
+def merge_partials(
+    partials: DataFrame,
+    group_cols: list[str],
+    fanout: int | None = 32,
+) -> DataFrame:
+    """Stage 2: reduce partial state rows to one row per (group, sketch).
+
+    ``fanout`` enables the salted intermediate level: partials are first
+    merged within ``pmod(part_id, fanout)`` buckets (bounding reducer
+    fan-in), then across buckets. Associativity/commutativity of every
+    kernel merge makes the tree shape invisible in the result.
+    """
+    key = group_cols + ["sketch"]
+    schema = merged_schema(partials, group_cols)
+    merge_fn = _make_merge_fn(group_cols)
+    lvl = partials
+    if fanout is not None:
+        salted_schema = StructType(schema.fields + [StructField("__salt", IntegerType(), False)])
+
+        def merge_salted(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = merge_fn(pdf)
+            out["__salt"] = keys[-1]
+            return out
+
+        lvl = (
+            partials.withColumn("__salt", F.pmod(F.col("part_id"), F.lit(fanout)).cast("int"))
+            .groupBy(*key, "__salt")
+            .applyInPandas(merge_salted, salted_schema)
+        )
+    final = lvl.groupBy(*key).applyInPandas(merge_fn, schema)
+    return final
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    fanout: int | None = 32,
+) -> DataFrame:
+    """Build + merge in one call: one row per (group, sketch)."""
+    return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)

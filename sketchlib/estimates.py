@@ -1,0 +1,140 @@
+"""Estimate / query columns over sketch-state DataFrames.
+
+Two families (SURVEY.md §2.4):
+
+1. **per-state estimates** — vectorized pandas UDFs applied to the tiny
+   merged-state table (one deserialization per state row):
+   ``hll_count``, ``bloom_len``, ``cms_total``, ``tdigest_quantile``,
+   ``kll_quantile``, ``tdigest_cdf``.
+
+2. **broadcast point queries** — the merged sketch states are collected
+   (kilobytes), broadcast to executors, and applied to a *big* DataFrame
+   column batch-vectorized: ``membership_udf`` (Bloom semi-join
+   pre-filter, the reference's stated Bloom application,
+   bloomfilter.rs:49-53) and ``point_query_udf`` (CMS frequency lookup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+from .agg import load_state
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+
+
+# -- per-state estimates (state column → scalar) -----------------------------
+
+
+@F.pandas_udf(LongType())
+def hll_count(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: int(load_state(b).count()))
+
+
+@F.pandas_udf(LongType())
+def bloom_len(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: int(load_state(b).len_estimate()))
+
+
+@F.pandas_udf(LongType())
+def cms_total(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: int(load_state(b).total()))
+
+
+def quantile_udf(q: float):
+    """Works for both tdigest and KLL states (same .quantile API)."""
+
+    @F.pandas_udf(DoubleType())
+    def _q(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: float(load_state(b).quantile(q)))
+
+    return _q
+
+
+def cdf_udf(x: float):
+    @F.pandas_udf(DoubleType())
+    def _c(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: float(load_state(b).cdf(x)))
+
+    return _c
+
+
+# -- broadcast point queries (big column × small broadcast state) ------------
+
+
+def membership_udf(spark, state_by_group: dict):
+    """Vectorized Bloom membership against per-group filters.
+
+    ``state_by_group``: {group_value: state_bytes} (pass ``{None: blob}``
+    and a lit(None) group col for a global filter). The dict is a Spark
+    broadcast: one copy per executor, deserialized once.
+    """
+    bc = spark.sparkContext.broadcast(
+        {k: bytes(v) for k, v in state_by_group.items()}
+    )
+    cache: dict = {}
+
+    def _get(g):
+        f = cache.get(g)
+        if f is None:
+            blob = bc.value.get(g)
+            f = BloomFilter.from_bytes(blob) if blob is not None else False
+            cache[g] = f
+        return f
+
+    @F.pandas_udf(BooleanType())
+    def _member(group: pd.Series, values: pd.Series) -> pd.Series:
+        out = np.zeros(len(values), dtype=bool)
+        v = values.to_numpy()
+        for g in group.unique():
+            filt = _get(g)
+            if filt is False:
+                continue
+            mask = (group == g).to_numpy()
+            out[mask] = filt.query(v[mask])
+        return pd.Series(out)
+
+    return _member
+
+
+def point_query_udf(spark, state_by_group: dict):
+    """Vectorized CMS frequency estimates against per-group sketches."""
+    bc = spark.sparkContext.broadcast(
+        {k: bytes(v) for k, v in state_by_group.items()}
+    )
+    cache: dict = {}
+
+    def _get(g):
+        s = cache.get(g)
+        if s is None:
+            blob = bc.value.get(g)
+            s = CountMinSketch.from_bytes(blob) if blob is not None else False
+            cache[g] = s
+        return s
+
+    @F.pandas_udf(LongType())
+    def _freq(group: pd.Series, values: pd.Series) -> pd.Series:
+        out = np.zeros(len(values), dtype=np.int64)
+        v = values.to_numpy()
+        for g in group.unique():
+            sk = _get(g)
+            if sk is False:
+                continue
+            mask = (group == g).to_numpy()
+            out[mask] = sk.query_points(v[mask]).astype(np.int64)
+        return pd.Series(out)
+
+    return _freq
+
+
+def collect_states(merged, group_cols: list[str], sketch_name: str) -> dict:
+    """Collect {group_value(s): state_bytes} for one sketch from the
+    merged table — kilobytes per group, safe to broadcast."""
+    rows = merged.filter(F.col("sketch") == sketch_name).select(*group_cols, "state").collect()
+    if len(group_cols) == 1:
+        return {r[0]: bytes(r[1]) for r in rows}
+    return {tuple(r[:-1]): bytes(r[-1]) for r in rows}
