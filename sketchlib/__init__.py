@@ -14,7 +14,9 @@ from .cms import CountMinSketch
 from .codec import SketchCodecError, SketchParamMismatch
 from .hll import HLL
 from .kll import KLL
+from .reservoir import Reservoir
 from .tdigest import TDigest
+from .topk import LossyCounter, TopK
 
 __all__ = [
     "HLL",
@@ -22,6 +24,9 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "LossyCounter",
+    "TopK",
+    "Reservoir",
     "SketchCodecError",
     "SketchParamMismatch",
 ]

@@ -36,6 +36,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DataType,
     DateType,
@@ -55,7 +56,9 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HLL
 from .kll import KLL
+from .reservoir import Reservoir
 from .tdigest import TDigest
+from .topk import LossyCounter, TopK
 
 KERNELS = {
     "hll": HLL,
@@ -63,10 +66,16 @@ KERNELS = {
     "bloom": BloomFilter,
     "tdigest": TDigest,
     "kll": KLL,
+    "lossy": LossyCounter,
+    "topk": TopK,
+    "reservoir": Reservoir,
 }
 
-_NUMERIC_KINDS = ("tdigest", "kll")  # consume float64
-_HASHED_KINDS = ("hll", "cms", "bloom")  # consume int64 (hashed internally)
+_NUMERIC_KINDS = ("tdigest", "kll", "reservoir")  # consume float64
+# consume int64; string inputs are pre-hashed JVM-side (note: for lossy /
+# topk over strings the emitted items are therefore xxhash64 values — use
+# topk_exact_rescore when the original values must appear in the output)
+_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk")
 
 
 @dataclass(frozen=True)
@@ -143,15 +152,24 @@ def partials_schema(df: DataFrame, group_cols: list[str]) -> StructType:
 
 def _resolve_specs(df: DataFrame, specs: list[SketchSpec]) -> tuple[DataFrame, list[SketchSpec]]:
     """Pre-hash string-valued sketch inputs JVM-side (xxhash64) so Python
-    only ever sees fixed-width integers."""
+    only ever sees fixed-width integers. Scalar strings hash directly;
+    ``array<string>`` hashes element-wise inside ``transform`` (still
+    whole-stage codegen, no explode, no per-row Python)."""
     out = df
     resolved = []
     for spec in specs:
+        if spec.kind not in _HASHED_KINDS:
+            resolved.append(spec)
+            continue
         dt = out.schema[spec.col].dataType
-        if isinstance(dt, StringType) and spec.kind in _HASHED_KINDS:
-            hcol = f"__h__{spec.col}"
+        hcol = f"__h__{spec.col}"
+        if isinstance(dt, StringType):
             if hcol not in out.columns:
                 out = out.withColumn(hcol, F.xxhash64(spec.col))
+            resolved.append(replace(spec, col=hcol))
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
+            if hcol not in out.columns:
+                out = out.withColumn(hcol, F.transform(F.col(spec.col), F.xxhash64))
             resolved.append(replace(spec, col=hcol))
         else:
             resolved.append(spec)
