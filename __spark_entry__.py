@@ -1,38 +1,509 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + per-operator queries + DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+over the driver's parquet tables. Design rule for hash-exact oracle
+parity: a query's output contains only values that are bit-deterministic
+in BOTH engines — exact counts, exact min/max, divisions of exact
+integers, ranks — while approximate estimates are emitted as
+within-published-error-bound booleans. That mirrors the reference's own
+test criterion (estimates asserted inside 1.04/sqrt(m), a<=â<=a+eps*N,
+etc. — SURVEY.md §5), and means a sketch regression flips a boolean and
+fails the value-hash, instead of comparing two legitimately different
+approximations.
+
+Queries marked "no oracle" (MinHash LSH) are non-SQL-expressible; the
+driver records a rows-only check for those.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Python workers inherit the driver env: make sketchlib importable there
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else _REPO
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sketchlib.agg import SketchSpec, sketch_aggregate
+from sketchlib.estimates import collect_states, hll_count, membership_udf, point_query_udf
+from sketchlib.hll import HLL
+from sketchlib.cms import CountMinSketch
+from sketchlib.kll import KLL
+from sketchlib.reservoir import Reservoir
+from sketchlib.tdigest import TDigest
+from sketchlib.topk import topk_exact_rescore
+
+SEED = 42
+HLL_P = 14
+HLL_SLACK = 4 * 1.04 / math.sqrt(2**HLL_P)  # 4 sigma of the published bound
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("words", F.split("text", " "))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """One pass over documents builds HLL+CMS+Bloom+t-digest+KLL per
+    source; returns the merged estimate table (SURVEY.md §3 pipeline)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _words(_t(spark, sf_dir, "documents"))
+    specs = [
+        SketchSpec("distinct_words", "hll", "words", {"p": HLL_P, "seed": SEED}),
+        SketchSpec("word_freq", "cms", "words", {"w": 2048, "d": 5, "seed": SEED}),
+        SketchSpec("word_member", "bloom", "words", {"m": 1 << 16, "k": 4, "seed": SEED}),
+        SketchSpec("chars_digest", "tdigest", "n_chars", {"delta": 200.0}),
+        SketchSpec("chars_kll", "kll", "n_chars", {"k": 200, "seed": SEED}),
+    ]
+    merged = sketch_aggregate(docs, ["source"], specs, fanout=8)
+    hll_rows = merged.filter(F.col("sketch") == "distinct_words")
+    return (
+        hll_rows.withColumn("distinct_words_est", hll_count("state"))
+        .select("source", "sketch", "distinct_words_est", "n_updates")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token count per source vs exact, bound-checked."""
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs, ["source"], [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})], fanout=8
+    )
+    est = merged.withColumn("est", hll_count("state")).select("source", "est")
+    exact = (
+        docs.select("source", F.explode("words").alias("w"))
+        .groupBy("source")
+        .agg(F.countDistinct("w").alias("distinct_words"))
+    )
+    return exact.join(est, "source").select(
+        "source",
+        "distinct_words",
+        (
+            F.abs(F.col("est") - F.col("distinct_words"))
+            <= F.greatest(F.lit(HLL_SLACK) * F.col("distinct_words"), F.lit(3.0))
+        ).alias("hll_ok"),
+    )
+
+
+def q_hll_distinct_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    merged = sketch_aggregate(
+        ev, ["event_type"], [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})], fanout=8
+    )
+    est = merged.withColumn("est", hll_count("state")).select("event_type", "est")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("distinct_users"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "distinct_users",
+        (
+            F.abs(F.col("est") - F.col("distinct_users"))
+            <= F.greatest(F.lit(HLL_SLACK) * F.col("distinct_users"), F.lit(3.0))
+        ).alias("hll_ok"),
+    )
+
+
+def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global CMS over all document tokens; the 50 most frequent words'
+    exact counts plus the a <= â <= a + eps*N bound check."""
+    docs = _words(_t(spark, sf_dir, "documents"))
+    w, d = 2048, 5
+    merged = sketch_aggregate(
+        docs, [], [SketchSpec("cms", "cms", "words", {"w": w, "d": d, "seed": SEED})], fanout=8
+    )
+    blob = merged.select("state").collect()[0][0]
+    sketch = CountMinSketch.from_bytes(bytes(blob))
+    eps_n = math.e / w * sketch.total()
+    freq = point_query_udf(spark, {"all": bytes(blob)})
+    exact = (
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(50)
+    )
+    # the sketch consumed xxhash64(word) (JVM-side pre-hash): query the same way
+    est = exact.withColumn("est", freq(F.lit("all"), F.xxhash64("word")))
+    return est.select(
+        "word",
+        "freq",
+        ((F.col("est") >= F.col("freq")) & (F.col("est") <= F.col("freq") + F.lit(eps_n))).alias(
+            "cms_ok"
+        ),
+    )
+
+
+def q_bloom_semijoin_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter + exact verify == exact semi-join (the
+    reference's stated Bloom application, bloomfilter.rs:49-53). Zero
+    false negatives is the correctness property under test: a missing
+    row fails the value-hash."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    merged = sketch_aggregate(
+        cust,
+        [],
+        [SketchSpec("bloom", "bloom", "c_custkey", {"m": 1 << 20, "k": 7, "seed": SEED})],
+        fanout=8,
+    )
+    blob = bytes(merged.select("state").collect()[0][0])
+    member = membership_udf(spark, {"all": blob})
+    prefiltered = orders.filter(member(F.lit("all"), F.col("o_custkey")))
+    keys = cust.select("c_custkey").distinct()
+    return prefiltered.join(
+        F.broadcast(keys), prefiltered.o_custkey == keys.c_custkey, "leftsemi"
+    ).select("o_orderkey", "o_custkey")
+
+
+def q_tdigest_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest per l_returnflag: exact moments from the digest (count
+    exact, min/max exact — tdigest.rs:1355-1361) + quantile tolerance."""
+    li = _t(spark, sf_dir, "lineitem")
+    merged = sketch_aggregate(
+        li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout=8
+    )
+    rows = merged.select("l_returnflag", "state").collect()
+    stats = []
+    for flag, blob in rows:
+        td = TDigest.from_bytes(bytes(blob))
+        stats.append((flag, int(td.count()), float(td.min), float(td.max), td.quantile(0.5)))
+    sdf = spark.createDataFrame(
+        stats, "l_returnflag string, n_rows long, min_qty double, max_qty double, q50 double"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_q50")
+    )
+    return sdf.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "min_qty",
+        "max_qty",
+        (F.abs(F.col("q50") - F.col("exact_q50")) <= F.lit(1.5)).alias("q50_ok"),
+    )
+
+
+def q_kll_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles per event_type, rank-error-checked: the exact rank
+    of the estimated quantile must be within ±0.05 of the target."""
+    ev = _t(spark, sf_dir, "events")
+    merged = sketch_aggregate(
+        ev, ["event_type"], [SketchSpec("kll", "kll", "value", {"k": 200, "seed": SEED})], fanout=8
+    )
+    rows = merged.select("event_type", "state").collect()
+    qs = [(et, *(KLL.from_bytes(bytes(b)).quantiles([0.5, 0.9]).tolist())) for et, b in rows]
+    qdf = spark.createDataFrame(qs, "event_type string, q50 double, q90 double")
+    ranked = (
+        ev.join(F.broadcast(qdf), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum((F.col("value") <= F.col("q50")).cast("long")) / F.count(F.lit(1))).alias("r50"),
+            (F.sum((F.col("value") <= F.col("q90")).cast("long")) / F.count(F.lit(1))).alias("r90"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.05).alias("q50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.05).alias("q90_ok"),
+    )
+
+
+def q_topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed top-10 words per lang (candidate generation +
+    certified rescore, sketchlib.topk.topk_exact_rescore)."""
+    docs = _words(_t(spark, sf_dir, "documents"))
+    flat = docs.select("lang", F.explode("words").alias("word"))
+    top = topk_exact_rescore(flat, ["lang"], "word", k=10, candidates_per_part=64)
+    return top.select("lang", F.col("value").alias("word"), "cnt")
+
+
+def q_reservoir_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir per event_type: deterministic invariants
+    (sample_size = min(k, n), seen = n) are the oracle-checkable part;
+    statistical uniformity is pytest-asserted (FIXTURES.md §2)."""
+    ev = _t(spark, sf_dir, "events")
+    merged = sketch_aggregate(
+        ev,
+        ["event_type"],
+        [SketchSpec("res", "reservoir", "value", {"k": 100, "seed": SEED})],
+        fanout=8,
+    )
+    rows = merged.select("event_type", "state").collect()
+    out = []
+    for et, blob in rows:
+        r = Reservoir.from_bytes(bytes(blob))
+        out.append((et, int(r.sample.size), int(r.n)))
+    return spark.createDataFrame(out, "event_type string, sample_size long, seen long")
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source (hash-groupBy dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_docs"),
+    )
+
+
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ratios per source; every double is a
+    ratio of exact integers so both engines agree bit-for-bit."""
+    docs = _words(_t(spark, sf_dir, "documents"))
+    stop = {"the", "a"}
+    per_doc = docs.select(
+        "source",
+        F.size("words").alias("n_words"),
+        F.size(F.filter("words", lambda w: w.isin(*stop))).alias("n_stop"),
+        "n_chars",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        (F.sum("n_stop").cast("double") / F.sum("n_words")).alias("stopword_ratio"),
+        (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias("avg_words_per_doc"),
+    )
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-duplicate pairs (J >= 0.5,
+    doc_a < doc_b). The SQL-expressible oracle for the MinHash path."""
+    docs = _words(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.transform(
+                F.slice("words", 1, F.greatest(F.size("words") - F.lit(2), F.lit(0))),
+                lambda w, i: F.concat_ws(
+                    " ",
+                    F.element_at("words", i + 1),
+                    F.element_at("words", i + 2),
+                    F.element_at("words", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("inter") * 2 >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select("doc_a", "doc_b")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for the first 5 query
+    vectors (rank output; similarity values stay internal to dodge
+    engine-specific float formatting)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+    pairs = q.crossJoin(emb).withColumn(
+        "sim", dot(F.col("qe"), F.col("e")) / F.sqrt(dot(F.col("qe"), F.col("qe")) * dot(F.col("e"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, exactly verified
+    (J >= 0.5 on 3-gram shingles). No SQL oracle (rows-only check);
+    pytest asserts parity with the exact path at small scale."""
+    from sketchlib.dedup import minhash_neardup_pairs
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    return minhash_neardup_pairs(docs, "doc_id", "words", threshold=0.5, n_hashes=64, bands=32)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
+    "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
+    "cms_word_freq": q_cms_word_freq,
+    "bloom_semijoin_building": q_bloom_semijoin_building,
+    "tdigest_quantity_stats": q_tdigest_quantity_stats,
+    "kll_event_value_quantiles": q_kll_event_value_quantiles,
+    "topk_words_per_lang": q_topk_words_per_lang,
+    "reservoir_sample_size": q_reservoir_sample_size,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "text_quality_stats": q_text_quality_stats,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_distinct_words_per_source": """
+            SELECT source,
+                   COUNT(DISTINCT w) AS distinct_words,
+                   TRUE AS hll_ok
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY source
+        """,
+        "hll_distinct_users_per_event_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   TRUE AS hll_ok
+            FROM events
+            GROUP BY event_type
+        """,
+        "cms_word_freq": """
+            SELECT word, freq, TRUE AS cms_ok
+            FROM (
+                SELECT w AS word, COUNT(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w
+                ORDER BY freq DESC, word ASC
+                LIMIT 50
+            )
+        """,
+        "bloom_semijoin_building": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+        """,
+        "tdigest_quantity_stats": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   TRUE AS q50_ok
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "kll_event_value_quantiles": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   TRUE AS q50_ok,
+                   TRUE AS q90_ok
+            FROM events
+            GROUP BY event_type
+        """,
+        "topk_words_per_lang": """
+            SELECT lang, word, cnt FROM (
+                SELECT lang, word, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rn
+                FROM (
+                    SELECT lang, w AS word, COUNT(*) AS cnt
+                    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY lang, w
+                )
+            ) WHERE rn <= 10
+        """,
+        "reservoir_sample_size": """
+            SELECT event_type,
+                   LEAST(100, COUNT(*)) AS sample_size,
+                   COUNT(*) AS seen
+            FROM events
+            GROUP BY event_type
+        """,
+        "dedup_exact_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_unique_texts,
+                   COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs
+            FROM documents
+            GROUP BY source
+        """,
+        "text_quality_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(n_words) AS total_words,
+                   CAST(SUM(n_stop) AS DOUBLE) / SUM(n_words) AS stopword_ratio,
+                   CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words_per_doc
+            FROM (
+                SELECT source,
+                       len(string_split(text, ' ')) AS n_words,
+                       len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+                FROM documents
+            )
+            GROUP BY source
+        """,
+        "ngram_jaccard_neardup": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 2, 0) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ic
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ic * 2 >= sa.sz + sb.sz - ic
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, rank, neighbor_id FROM (
+                SELECT q.vec_id AS query_id,
+                       e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])
+                           ) DESC, e.vec_id ASC
+                       ) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+        # minhash_lsh_neardup: intentionally no oracle (LSH candidate
+        # generation is probabilistic; exact parity is pytest-asserted
+        # against ngram_jaccard_neardup at small scale)
+    }

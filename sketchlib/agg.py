@@ -169,7 +169,7 @@ def _resolve_specs(df: DataFrame, specs: list[SketchSpec]) -> tuple[DataFrame, l
             resolved.append(replace(spec, col=hcol))
         elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
             if hcol not in out.columns:
-                out = out.withColumn(hcol, F.transform(F.col(spec.col), F.xxhash64))
+                out = out.withColumn(hcol, F.transform(F.col(spec.col), lambda x: F.xxhash64(x)))
             resolved.append(replace(spec, col=hcol))
         else:
             resolved.append(spec)
@@ -378,7 +378,7 @@ def merge_partials(
     if fanout is not None:
         salted_schema = StructType(schema.fields + [StructField("__salt", IntegerType(), False)])
 
-        def merge_salted(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        def merge_salted(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             out = merge_fn(pdf)
             out["__salt"] = keys[-1]
             return out
