@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "tokens": N, "tokens_per_sec": ..., "token_updates_per_sec": ...,
+     "scaling": {"cores_low": 8, "cores_high": 32, "wall_low": ...,
+                 "wall_high": ..., "efficiency": ...}}
+
+Headline job (BASELINE.json north_rule): one pass over the deterministic
+`sequences` table (doc_id, tokens array<int32>, n_tok, source — written
+once to parquet so both scaling legs read the identical input) building
+HLL + CMS + Bloom over `tokens` and t-digest over `n_tok` per source,
+salted-tree-merged to final states. The same job runs at local[N_LOW]
+and local[N_HIGH] as this sandbox's proxy for an N- vs 4N-executor
+cluster; efficiency = (wall_low / wall_high) / (high / low).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 1.5M
+docs ≈ 390M tokens), SPARK_GRAFT_SCALING=0 to skip the low-cores leg,
+SPARK_GRAFT_QUERIES=0 to skip per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from sketchlib.agg import SketchSpec, sketch_aggregate  # noqa: E402
+from sketchlib.session import get_spark  # noqa: E402
+
+SEED = 42
+SPECS = [
+    SketchSpec("hll", "hll", "tokens", {"p": 14, "seed": SEED}),
+    SketchSpec("cms", "cms", "tokens", {"w": 8192, "d": 5, "seed": SEED}),
+    SketchSpec("bloom", "bloom", "tokens", {"m": 1 << 20, "k": 7, "seed": SEED}),
+    SketchSpec("tdigest", "tdigest", "n_tok", {"delta": 200.0}),
+]
+
+
+def ensure_sequences(n_docs: int, path: str) -> None:
+    """Generate + write the bench input once (deterministic, FIXTURES.md §1)."""
+    marker = os.path.join(path, f"_DOCS_{n_docs}")
+    if os.path.exists(marker):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    from sketchlib.gen import write_sequences
+
+    spark = get_spark("bench-gen", cores=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    write_sequences(spark, path, n_docs, partitions=256)
+    spark.stop()
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def build_leg(cores: int, path: str) -> dict:
+    """One scaling leg, meant to run inside its own (cpu-pinned)
+    process: one warmup run (JVM JIT + Python-worker spawn + page cache
+    — costs a long-running cluster job amortizes away) then best-of-2
+    measured runs (this host carries variable exogenous load; min
+    filters its spikes)."""
+    spark = get_spark(
+        f"bench-build-{cores}",
+        cores=cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    seqs = spark.read.parquet(path)
+
+    def once() -> tuple[float, int]:
+        t0 = time.time()
+        merged = sketch_aggregate(seqs, ["source"], SPECS, fanout=32)
+        rows = merged.select("sketch", "n_updates").collect()
+        return time.time() - t0, sum(r.n_updates for r in rows if r.sketch == "hll")
+
+    once()  # warmup
+    w1, tokens = once()
+    w2, _ = once()
+    spark.stop()
+    return {"wall": min(w1, w2), "tokens": tokens}
+
+
+def pick_quiet_cpus(n: int, sample_sec: float = 0.5) -> list[int]:
+    """The host carries exogenous load; pin each leg to the currently
+    least-busy cpus instead of blindly to 0..n-1."""
+
+    def snap():
+        per = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    parts = line.split()
+                    cpu = int(parts[0][3:])
+                    vals = list(map(int, parts[1:]))
+                    idle = vals[3] + vals[4]  # idle + iowait
+                    per[cpu] = (sum(vals), idle)
+        return per
+
+    try:
+        a = snap()
+        time.sleep(sample_sec)
+        b = snap()
+        busy = {
+            c: ((b[c][0] - a[c][0]) - (b[c][1] - a[c][1])) / max(1, b[c][0] - a[c][0])
+            for c in a
+        }
+        return sorted(sorted(busy), key=lambda c: busy[c])[:n]
+    except Exception:
+        return list(range(n))
+
+
+def run_build(cores: int, path: str, pin: bool = True) -> tuple[float, int]:
+    """Run one leg in a subprocess, optionally pinned to exactly
+    ``cores`` cpus.
+
+    In local mode Python workers are not core-capped, so an unpinned
+    local[2] silently borrows extra cpus for JVM-scan/Python-kernel
+    pipelining and overstates the small leg. taskset pins the whole
+    process tree (driver, JVM, workers), making each leg behave like an
+    executor with that many cores — the honest N vs 4N proxy. The
+    unpinned variant measures peak throughput (JVM scan and Python
+    kernels overlapping freely)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--build-leg", str(cores), path]
+    if pin and shutil.which("taskset"):
+        cpus = pick_quiet_cpus(cores)
+        cmd = ["taskset", "-c", ",".join(map(str, cpus))] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    leg = json.loads(out.stdout.strip().splitlines()[-1])
+    return leg["wall"], leg["tokens"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1200000"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    do_queries = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"
+    seq_path = os.environ.get("SPARK_GRAFT_SEQ_PATH", "/tmp/bench_sequences")
+    # N vs 4N proxy: the sandbox host carries exogenous load (~8-12
+    # runnable threads outside this namespace), so parallelism beyond
+    # ~8 local cores measures contention, not the engine — see
+    # BASELINE.md "Measured" for the experiment. Both legs must fit in
+    # the host's free capacity for the ratio to mean anything.
+    high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(8, cpus))))
+    low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", str(max(2, high // 4))))
+
+    ensure_sequences(n_docs, seq_path)
+
+    result: dict = {
+        "metric": "sequences 4-sketch build+merge wall time (HLL+CMS+Bloom per-token, t-digest per-doc, per source)",
+        "unit": "sec",
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
+        "bench_docs": n_docs,
+    }
+
+    if do_scaling:
+        wall_low, tokens = run_build(low, seq_path, pin=True)
+        wall_high, tokens = run_build(high, seq_path, pin=True)
+        result["scaling"] = {
+            "cores_low": low,
+            "cores_high": high,
+            "wall_low": round(wall_low, 2),
+            "wall_high": round(wall_high, 2),
+            "efficiency": round((wall_low / wall_high) / (high / low), 3),
+            "note": "cpu-pinned legs (taskset): each leg = an executor with exactly that many cores",
+        }
+    # peak throughput: unpinned — JVM scan + Python kernels overlap freely
+    wall_peak, tokens = run_build(high, seq_path, pin=False)
+    result["value"] = round(wall_peak, 2)
+    result["tokens"] = tokens
+    result["tokens_per_sec"] = round(tokens / wall_peak)
+    # each token updates HLL+CMS+Bloom; each doc updates the t-digest once
+    result["token_updates_per_sec"] = round(3 * tokens / wall_peak + n_docs / wall_peak)
+
+    queries: dict = {}
+    if do_queries:
+        import __spark_entry__ as mod
+
+        spark = get_spark("bench-queries", cores=cpus)
+        for name, fn in mod.queries().items():
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).collect()
+                queries[name] = round(time.time() - t0, 2)
+            except Exception as e:  # a broken query shows up, not hides
+                queries[name] = f"ERROR: {type(e).__name__}"
+        spark.stop()
+    result["queries"] = queries
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--build-leg":
+        print(json.dumps(build_leg(int(sys.argv[2]), sys.argv[3])))
+    else:
+        main()

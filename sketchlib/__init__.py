@@ -12,7 +12,9 @@ mapInArrow/applyInPandas — no per-row Python anywhere.
 from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .codec import SketchCodecError, SketchParamMismatch
+from .cuckoo import CuckooFilter, CuckooFilterFull
 from .hll import HLL
+from .quotient import QuotientFilter, QuotientFilterFull
 from .kll import KLL
 from .reservoir import Reservoir
 from .tdigest import TDigest
@@ -27,6 +29,10 @@ __all__ = [
     "LossyCounter",
     "TopK",
     "Reservoir",
+    "CuckooFilter",
+    "CuckooFilterFull",
+    "QuotientFilter",
+    "QuotientFilterFull",
     "SketchCodecError",
     "SketchParamMismatch",
 ]

@@ -258,41 +258,73 @@ def build_partials(
             else:
                 codes = np.zeros(n, dtype=np.int64)
                 uniq_keys = [()]
-            for gi, gkey in enumerate(uniq_keys):
-                n_rows[gkey] = n_rows.get(gkey, 0) + int((codes == gi).sum())
+            G = len(uniq_keys)
+            for gi, cnt in enumerate(np.bincount(codes, minlength=G)):
+                gkey = uniq_keys[gi]
+                n_rows[gkey] = n_rows.get(gkey, 0) + int(cnt)
 
+            # per (col, want_float): values grouped contiguously by one
+            # stable sort on the group code — shared by every spec on
+            # that column (replaces G boolean-mask scans per spec)
             col_cache: dict = {}
+            uniq_cache: dict = {}  # (col, gi) -> (uniq, counts), shared by hashed kinds
+
+            def grouped(col: str, want_float: bool):
+                ck = (col, want_float)
+                hit = col_cache.get(ck)
+                if hit is None:
+                    values, row_idx = _column_values(batch, col, want_float)
+                    vgroups = codes[row_idx]
+                    if G == 1:
+                        order = None
+                        bounds = np.array([0, values.size], dtype=np.int64)
+                    else:
+                        order = np.argsort(vgroups, kind="stable")
+                        values = values[order]
+                        bounds = np.searchsorted(vgroups[order], np.arange(G + 1))
+                    hit = (values, bounds, order, row_idx)
+                    col_cache[ck] = hit
+                return hit
+
             for name, kind, col, params, wcol in specs_payload:
                 want_float = kind in _NUMERIC_KINDS
-                ck = (col, want_float)
-                if ck not in col_cache:
-                    col_cache[ck] = _column_values(batch, col, want_float)
-                values, row_idx = col_cache[ck]
+                values, bounds, order, row_idx = grouped(col, want_float)
                 if values.size == 0:
                     continue
-                vgroups = codes[row_idx]
                 weights = None
                 if wcol is not None:
                     warr, wrow = _column_values(batch, wcol, True)
                     if not np.array_equal(wrow, row_idx):
                         raise ValueError(f"weight col {wcol} nulls misaligned with {col}")
-                    weights = warr
-                for gi, gkey in enumerate(uniq_keys):
-                    mask = vgroups == gi
-                    vals = values[mask]
-                    if vals.size == 0:
+                    weights = warr if order is None else warr[order]
+                dedupable = kind in _HASHED_KINDS and kind != "lossy"
+                for gi in range(G):
+                    lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                    if lo == hi:
                         continue
+                    gkey = uniq_keys[gi]
                     skey = (gkey, name)
                     kernel = states.get(skey)
                     if kernel is None:
                         kernel = KERNELS[kind](**params)
                         states[skey] = kernel
                         n_updates[skey] = 0
-                    if kind == "tdigest" and weights is not None:
-                        kernel.update(vals, weights[mask])
+                    if dedupable:
+                        # one dedup per (col, group), shared by hll/cms/
+                        # bloom/topk — their updates are count-aware or
+                        # idempotent, so this is exact (lossy is windowed
+                        # and consumes the raw stream instead)
+                        uk = (col, gi)
+                        uc = uniq_cache.get(uk)
+                        if uc is None:
+                            uc = np.unique(values[lo:hi], return_counts=True)
+                            uniq_cache[uk] = uc
+                        kernel.update_unique(*uc)
+                    elif kind == "tdigest" and weights is not None:
+                        kernel.update(values[lo:hi], weights[lo:hi])
                     else:
-                        kernel.update(vals)
-                    n_updates[skey] += int(vals.size)
+                        kernel.update(values[lo:hi])
+                    n_updates[skey] += hi - lo
 
         if not states:
             return

@@ -95,6 +95,11 @@ class BloomFilter:
         # scattered RMWs per duplicate
         self.update_hashed(hash_i64(np.unique(v), self.seed))
 
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        """Fast path when the caller already deduplicated the batch
+        (inserts are idempotent; counts unused)."""
+        self.update_hashed(hash_i64(uniq, self.seed))
+
     # -- query ------------------------------------------------------
     def query(self, values: np.ndarray) -> np.ndarray:
         """Vectorized membership: bool per value (no false negatives)."""

@@ -97,6 +97,10 @@ class CountMinSketch:
         uniq, counts = np.unique(v, return_counts=True)
         self.update_hashed(hash_i64(uniq, self.seed), counts)
 
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        """Fast path when the caller already deduplicated the batch."""
+        self.update_hashed(hash_i64(uniq, self.seed), counts)
+
     # -- query ------------------------------------------------------
     def query_points(self, values: np.ndarray) -> np.ndarray:
         """Vectorized point queries: min over the d rows, per value."""

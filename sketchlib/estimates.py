@@ -63,6 +63,65 @@ def cdf_udf(x: float):
     return _c
 
 
+def moment_udf(moment: str):
+    """t-digest exact moments from centroids (tdigest.rs:483-489):
+    ``count | sum | mean | min | max``."""
+    getters = {
+        "count": lambda s: float(s.count()),
+        "sum": lambda s: float(s.sum()),
+        "mean": lambda s: float(s.mean()),
+        "min": lambda s: float(s.min),
+        "max": lambda s: float(s.max),
+    }
+    get = getters[moment]
+
+    @F.pandas_udf(DoubleType())
+    def _m(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: get(load_state(b)))
+
+    return _m
+
+
+@F.pandas_udf(LongType())
+def reservoir_seen(state: pd.Series) -> pd.Series:
+    """Reservoir stream length i() (reservoirsampling.rs:101-104)."""
+    return state.map(lambda b: int(load_state(b).n))
+
+
+@F.pandas_udf(LongType())
+def reservoir_size(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: int(load_state(b).sample.size))
+
+
+def topk_items_udf():
+    """TopK query() → array of 'item:count' strings ordered by
+    (count desc, item asc) (cmsheap.rs:213-219 iteration order,
+    descending here for readability)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _t(state: pd.Series) -> pd.Series:
+        def render(b):
+            items, counts = load_state(b).query()
+            return [f"{i}:{c}" for i, c in zip(items.tolist(), counts.tolist())]
+
+        return state.map(render)
+
+    return _t
+
+
+def heavy_hitters_udf(theta: float):
+    """LossyCounter query(theta) → array of items with
+    f >= (theta - eps) * n (lossycounter.rs:258-273)."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _h(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: load_state(b).query(theta)[0].tolist())
+
+    return _h
+
+
 # -- broadcast point queries (big column × small broadcast state) ------------
 
 

@@ -113,6 +113,11 @@ class HLL:
         """Consume a batch of integer elements (hashed internally)."""
         self.update_hashed(hash_i64(values, self.seed))
 
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        """Fast path when the caller already deduplicated the batch
+        (duplicates are idempotent for HLL; counts unused)."""
+        self.update_hashed(hash_i64(uniq, self.seed))
+
     # -- estimate ---------------------------------------------------
     def _estimate_bias(self, e: float) -> float:
         raw = _RAW_ESTIMATE[self.p]

@@ -226,6 +226,11 @@ class TopK:
         self.cms.update(values)
         self._requalify(np.unique(values))
 
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        """Fast path when the caller already deduplicated the batch."""
+        self.cms.update_unique(uniq, counts)
+        self._requalify(uniq)
+
     def query(self) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (items, est counts) by (count desc, item asc)."""
         if self.candidates.size == 0:

@@ -1,0 +1,52 @@
+"""lossy / topk kernels through the distributed two-stage topology."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sketchlib.agg import SketchSpec, load_state, sketch_aggregate
+
+
+def test_lossy_and_topk_heavy_hitters(spark, seq_small):
+    # token distribution is Zipf-ish cube (FIXTURES.md): token 0 is the
+    # heaviest by far; sketch over the raw int tokens per source
+    specs = [
+        SketchSpec("lossy", "lossy", "tokens", {"epsilon": 0.001}),
+        SketchSpec("topk", "topk", "tokens", {"k": 5, "w": 8192, "d": 4, "seed": 7}),
+    ]
+    merged = sketch_aggregate(seq_small, ["source"], specs, fanout=4)
+    rows = {(r["source"], r["sketch"]): bytes(r["state"]) for r in merged.collect()}
+
+    exact = {
+        (r["source"], r["tok"]): r["cnt"]
+        for r in seq_small.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    totals: dict = {}
+    top_by_source: dict = {}
+    for (src, tok), cnt in exact.items():
+        totals[src] = totals.get(src, 0) + cnt
+        cur = top_by_source.get(src)
+        if cur is None or (cnt, -tok) > (cur[1], -cur[0]):
+            top_by_source[src] = (tok, cnt)
+
+    sources = {s for s, _ in rows}
+    assert sources == set(totals)
+    for src in sources:
+        n = totals[src]
+        lc = load_state(rows[(src, "lossy")])
+        assert lc.n == n
+        items, f = lc.query(0.02)
+        for it, fv in zip(items.tolist(), f.tolist()):
+            ex = exact.get((src, it), 0)
+            assert fv <= ex and fv >= ex - lc.epsilon * n
+        heavy_exact = {t for (s, t), c in exact.items() if s == src and c >= 0.02 * n}
+        assert heavy_exact <= set(items.tolist())  # superset guarantee
+
+        tk = load_state(rows[(src, "topk")])
+        t_items, t_counts = tk.query()
+        best_tok, best_cnt = top_by_source[src]
+        assert t_items[0] == best_tok
+        assert t_counts[0] >= best_cnt  # CMS never undercounts
+        assert t_counts[0] <= best_cnt + (np.e / 8192) * n

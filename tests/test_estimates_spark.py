@@ -1,0 +1,75 @@
+"""Estimate-column UDFs over merged sketch states."""
+
+from pyspark.sql import functions as F
+
+from sketchlib.agg import SketchSpec, sketch_aggregate
+from sketchlib.estimates import (
+    heavy_hitters_udf,
+    moment_udf,
+    reservoir_seen,
+    reservoir_size,
+    topk_items_udf,
+)
+
+
+def test_estimate_udfs(spark, seq_small):
+    specs = [
+        SketchSpec("td", "tdigest", "n_tok", {"delta": 200.0}),
+        SketchSpec("res", "reservoir", "n_tok", {"k": 50, "seed": 2}),
+        SketchSpec("tk", "topk", "tokens", {"k": 3, "w": 4096, "d": 4, "seed": 2}),
+        SketchSpec("lossy", "lossy", "tokens", {"epsilon": 0.005}),
+    ]
+    merged = sketch_aggregate(seq_small, ["source"], specs, fanout=4).cache()
+
+    exact = {
+        r["source"]: (r["n"], float(r["mn"]), float(r["mx"]), float(r["sm"]))
+        for r in seq_small.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_tok").alias("mn"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("sm"),
+        )
+        .collect()
+    }
+
+    td = {
+        r["source"]: (r["cnt"], r["mn"], r["mx"], r["sm"])
+        for r in merged.filter(F.col("sketch") == "td")
+        .select(
+            "source",
+            moment_udf("count")("state").alias("cnt"),
+            moment_udf("min")("state").alias("mn"),
+            moment_udf("max")("state").alias("mx"),
+            moment_udf("sum")("state").alias("sm"),
+        )
+        .collect()
+    }
+    for src, (n, mn, mx, sm) in exact.items():
+        assert td[src] == (float(n), mn, mx, sm)  # moments exact (tdigest.rs:1355-1361)
+
+    res = {
+        r["source"]: (r["size"], r["seen"])
+        for r in merged.filter(F.col("sketch") == "res")
+        .select("source", reservoir_size("state").alias("size"), reservoir_seen("state").alias("seen"))
+        .collect()
+    }
+    for src, (n, *_rest) in exact.items():
+        assert res[src] == (min(50, n), n)
+
+    tk = merged.filter(F.col("sketch") == "tk").select(
+        "source", topk_items_udf()("state").alias("top")
+    )
+    for r in tk.collect():
+        assert len(r["top"]) == 3
+        # token 0 is the heaviest under the cube-skew generator
+        assert r["top"][0].startswith("0:")
+
+    # P(token=0) = (1/V)^(1/3) ≈ 2.7% under the cube-skew generator, so
+    # query at theta=0.02 (bound (0.02-eps)·n = 1.5% < 2.7%)
+    hh = merged.filter(F.col("sketch") == "lossy").select(
+        "source", heavy_hitters_udf(0.02)("state").alias("hh")
+    )
+    for r in hh.collect():
+        assert 0 in r["hh"]
+    merged.unpersist()
