@@ -348,6 +348,43 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs at threshold 0.45."""
+    from sketchlib.ann import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, 0.45)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document (md5 — identical in both
+    engines, so exact dedup keys are oracle-checkable end-to-end)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts per source (textops.token_count_col);
+    regexp semantics match DuckDB for this class-only pattern."""
+    from sketchlib.textops import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(token_count_col("text")).alias("total_tokens"),
+        F.max(token_count_col("text")).alias("max_tokens"),
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6 of 64 over word-hash bit
+    votes). No SQL oracle (bit-vote signatures aren't SQL-expressible);
+    banding-vs-full-scan equality is pytest-asserted."""
+    from sketchlib.dedup import simhash_neardup_pairs
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(docs, "doc_id", "words", max_hamming=6, bands=8)
+
+
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, exactly verified
     (J >= 0.5 on 3-gram shingles). No SQL oracle (rows-only check);
@@ -372,6 +409,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "cosine_neardup": q_cosine_neardup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count_regex": q_token_count_regex,
+    "simhash_neardup": q_simhash_neardup,
 }
 
 
@@ -503,7 +544,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5
             ) WHERE rank <= 10
         """,
-        # minhash_lsh_neardup: intentionally no oracle (LSH candidate
-        # generation is probabilistic; exact parity is pytest-asserted
-        # against ngram_jaccard_neardup at small scale)
+        "cosine_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.45
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "token_count_regex": r"""
+            SELECT source,
+                   SUM(n) AS total_tokens,
+                   MAX(n) AS max_tokens
+            FROM (
+                SELECT source,
+                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n
+                FROM documents
+            )
+            GROUP BY source
+        """,
+        # minhash_lsh_neardup / simhash_neardup: intentionally no oracle
+        # (probabilistic candidate generation / bit-vote signatures are
+        # not SQL-expressible); parity with the exact paths is
+        # pytest-asserted at small scale
     }

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three operators (training-data-pipeline requirement):
+
+- :func:`cosine_topk` — brute-force exact top-k: the small query set
+  cross-joins the corpus and ranks by cosine, all in JVM expressions
+  (``zip_with`` + ``aggregate`` folds — whole-stage codegen, no Python).
+  The correctness baseline; O(|queries| × |corpus|).
+- :func:`srp_topk` — the scale path: sign-random-projection LSH
+  (Charikar hyperplane hashing). Signatures are one vectorized numpy
+  matmul per Arrow batch; candidates come from bucket joins on
+  (table, bucket-key) rows — the corpus embeddings never shuffle — and
+  are exactly re-scored, so precision is 1.0 and only recall is
+  approximate (pytest asserts recall vs brute force).
+- :func:`cosine_neardup_pairs` — exact near-duplicate pairs
+  (cos >= threshold, a < b); :func:`srp_neardup_pairs` is the
+  LSH-bucketed variant with exact verify.
+
+Randomness: projection matrices come from ``np.random.default_rng(seed)``
+(PCG64 — reproducible across processes/platforms), so signatures are
+deterministic per seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+DEFAULT_SEED = 0x5EEDC0DE
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id: str = "query_id", q_vec: str = "qe") -> DataFrame:
+    """Exact top-k neighbors per query row: (query_id, rank, neighbor_id, sim)."""
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("e"))
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).cast("array<double>").alias("qe"))
+    pairs = q.crossJoin(e).withColumn("sim", cosine_col(F.col("qe"), F.col("e")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
+    )
+
+
+def srp_signatures(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+                   n_bits: int = 8, n_tables: int = 8, seed: int = DEFAULT_SEED) -> DataFrame:
+    """(id, keys array<long>[n_tables]): per table, the packed sign
+    pattern of ``n_bits`` random hyperplanes. One matmul per batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_bits))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    id_type = emb.schema[id_col].dataType
+    narrow = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<float>").alias("v"))
+    out_schema = StructType(
+        [StructField("vid", id_type, False), StructField("keys", ArrayType(LongType()), False)]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            varr = batch.column("v")
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = varr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(n, dim)
+            keys = np.empty((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                signs = (mat @ planes[t]) > 0  # (n, n_bits)
+                # key includes the table id so tables never cross-match
+                keys[:, t] = (signs @ weights) | (np.int64(t) << np.int64(n_bits))
+            offs = pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vid"), pa.ListArray.from_arrays(offs, pa.array(keys.reshape(-1)))],
+                names=["vid", "keys"],
+            )
+
+    return narrow.mapInArrow(fn, out_schema)
+
+
+def _bucketed(sig: DataFrame) -> DataFrame:
+    return sig.select("vid", F.explode("keys").alias("key"))
+
+
+def srp_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+             n_bits: int = 6, n_tables: int = 8, seed: int = DEFAULT_SEED,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id: str = "query_id", q_vec: str = "qe") -> DataFrame:
+    """Approximate top-k: LSH bucket join → exact cosine rescore.
+    Precision 1.0 (candidates are exactly scored); recall depends on
+    (n_bits, n_tables) and is asserted in tests."""
+    corpus_sig = _bucketed(srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed))
+    qdf = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    query_sig = _bucketed(
+        srp_signatures(qdf, "query_id", "qv", dim, n_bits, n_tables, seed)
+    ).withColumnRenamed("vid", "query_id")
+    cands = (
+        query_sig.join(corpus_sig, "key")
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .distinct()
+    )
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("e"))
+    q = qdf.select("query_id", F.col("qv").cast("array<double>").alias("qe"))
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .withColumn("sim", cosine_col(F.col("qe"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-dup pairs: (id_a < id_b, cos >= threshold)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("ea"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
+                      n_bits: int = 6, n_tables: int = 8, seed: int = DEFAULT_SEED,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed near-dup pairs, exactly verified (cos >= threshold).
+    Same-bucket candidates only — no cross join of the corpus."""
+    sig = _bucketed(srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed))
+    x, y = sig.alias("x"), sig.alias("y")
+    cands = (
+        x.join(y, (F.col("x.key") == F.col("y.key")) & (F.col("x.vid") < F.col("y.vid")))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("ea"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("eb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(cosine_col(F.col("ea"), F.col("eb")) >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -110,6 +110,101 @@ def minhash_band_keys(
     return hashed.mapInArrow(_signature_fn(n_hashes, bands, seed), out_schema)
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    words_col: str,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(doc_id, sig long): Charikar 64-bit SimHash over word hashes —
+    bit b of the signature is the sign of the sum of ±1 votes from each
+    word occurrence's hash bit b. One vectorized pass per Arrow batch
+    (64 shift/reduceat passes over the flattened batch; no per-row
+    Python)."""
+    id_type = df.schema[id_col].dataType
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.col(words_col), lambda x: F.xxhash64(x, F.lit(seed))).alias("h"),
+    )
+    out_schema = StructType(
+        [StructField("doc_id", id_type, False), StructField("sig", LongType(), False)]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            harr = batch.column("h")
+            lengths = harr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = lengths > 0
+            if not keep.any():
+                continue
+            flat = harr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            starts = (np.cumsum(lengths) - lengths)[keep]
+            n_docs = int(keep.sum())
+            sig = np.zeros(n_docs, dtype=np.uint64)
+            kept_len = lengths[keep]
+            for b in range(64):
+                ones = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                votes = 2 * np.add.reduceat(ones, starts) - kept_len  # (+1/-1 sum)
+                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(batch.column("doc_id"))[keep]),
+                    pa.array(sig.view(np.int64)),
+                ],
+                names=["doc_id", "sig"],
+            )
+
+    return hashed.mapInArrow(fn, out_schema)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    words_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Candidates via band blocking (pigeonhole: distance <= bands-1
+    guarantees some band matches exactly, so recall is 1.0 whenever
+    ``max_hamming < bands``); exact hamming verify on candidates."""
+    if 64 % bands:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig = simhash_signatures(df, id_col, words_col, seed)
+    parts = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sig"), b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "key"),
+    )
+    x, y = parts.alias("x"), parts.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.filter(hamming <= max_hamming).select("doc_a", "doc_b")
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,53 @@
+"""ANN: brute-force vs SRP-LSH; cosine near-dup exact vs LSH."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.ann import cosine_neardup_pairs, cosine_topk, srp_neardup_pairs, srp_topk
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """300 vectors in 6 tight clusters + noise: near-dups exist by
+    construction (deterministic, seeded)."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, DIM)) * 3
+    rows = []
+    for i in range(300):
+        c = centers[i % 6]
+        v = c + rng.standard_normal(DIM) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_self_top1(spark, emb):
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    top = cosine_topk(emb, q, k=5)
+    first = {r.query_id: r.neighbor_id for r in top.filter("rank = 1").collect()}
+    assert first == {0: 0, 1: 1, 2: 2, 3: 3}  # self is its own nearest
+
+
+def test_srp_recall_vs_bruteforce(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = cosine_topk(emb, q, k=10)
+    approx = srp_topk(emb, q, k=10, dim=DIM, n_bits=4, n_tables=12, seed=1)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
+
+
+def test_neardup_lsh_matches_exact(spark, emb):
+    t = 0.9
+    exact = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, t).collect()}
+    lsh = {(r.id_a, r.id_b) for r in srp_neardup_pairs(emb, t, dim=DIM, n_bits=4, n_tables=12, seed=1).collect()}
+    assert lsh <= exact  # exact verify ⇒ no false positives
+    assert len(exact) > 50  # clusters exist
+    assert len(exact - lsh) <= len(exact) * 0.05  # high recall

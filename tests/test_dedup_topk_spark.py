@@ -78,6 +78,53 @@ class TestMinHashLSH:
         assert p1 == p2
 
 
+class TestSimHash:
+    def test_signatures_shape(self, spark, docs):
+        from sketchlib.dedup import simhash_signatures
+
+        sig = simhash_signatures(docs, "doc_id", "words")
+        assert sig.count() == docs.count()
+
+    def test_planted_neardups_found(self, spark, docs):
+        # 2/40 word mutations shift ±1-vote margins (~sqrt(40) ≈ 6.3 per
+        # bit), giving hamming ≈ 3-13 — measured on this fixture. With
+        # max_hamming=13 < bands=16 the pigeonhole recall guarantee
+        # applies, so every planted pair MUST surface. (Extras are
+        # legitimate: the fixture's arithmetic-progression vocab makes
+        # some unplanted doc pairs genuinely similar as word multisets.)
+        from sketchlib.dedup import simhash_neardup_pairs
+
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_neardup_pairs(
+                docs, "doc_id", "words", max_hamming=13, bands=16
+            ).collect()
+        }
+        planted = {(i, i + 1000) for i in range(30)}
+        assert planted <= got, planted - got
+
+    def test_banding_recall_guarantee(self, spark, docs):
+        # max_hamming < bands ⇒ pigeonhole: candidates lose nothing, so
+        # band-blocked output == full signature-pair scan output
+        from sketchlib.dedup import simhash_neardup_pairs, simhash_signatures
+        from pyspark.sql import functions as F
+
+        sig = simhash_signatures(docs, "doc_id", "words").cache()
+        a, b = sig.alias("a"), sig.alias("b")
+        full = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= 3)
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        want = {(r.doc_a, r.doc_b) for r in full.collect()}
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_neardup_pairs(docs, "doc_id", "words", max_hamming=3, bands=4).collect()
+        }
+        assert got == want
+        sig.unpersist()
+
+
 class TestTopKExactRescore:
     def test_matches_full_agg(self, spark, seq_small):
         flat = seq_small.select("source", F.explode("tokens").alias("tok"))

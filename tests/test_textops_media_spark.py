@@ -1,0 +1,112 @@
+"""textops (lang-id, regex token count, winnowing) + media plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.media import byte_histogram_features, decode_image_meta, frame_sample, synth_media_df
+from sketchlib.textops import (
+    BPE_ISH_PATTERN,
+    fit_language_profiles,
+    lang_id_udf,
+    token_count_col,
+    winnow_fingerprints,
+)
+
+
+class TestLangId:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # genuinely distinct character distributions per language
+        texts = {
+            "xx": "zzyzx zyx xyzzy yzz zxy zyzzyva xyz zzz yxz zyxx",
+            "aa": "alfalfa banana cabana salad area arena anagram banal",
+            "oo": "monsoon cocoon london wood door bosom crooks odor",
+        }
+        rows = []
+        for lang, base in texts.items():
+            words = base.split()
+            for i in range(30):
+                rows.append((lang, " ".join(words[(i + j) % len(words)] for j in range(8))))
+        return spark.createDataFrame(rows, "lang string, text string").cache()
+
+    def test_train_and_classify(self, spark, corpus):
+        profiles = fit_language_profiles(corpus, "text", "lang", n=3, top=100)
+        assert set(profiles) == {"xx", "aa", "oo"}
+        clf = lang_id_udf(spark, profiles, n=3)
+        pred = corpus.withColumn("pred", clf("text"))
+        acc = pred.filter(F.col("pred") == F.col("lang")).count() / corpus.count()
+        assert acc >= 0.95, acc
+
+
+class TestTokenCount:
+    def test_matches_python_re(self, spark):
+        import re
+
+        samples = ["hello world42, foo-bar!", "a.b.c 123", "", "   ", "x"]
+        df = spark.createDataFrame([(s,) for s in samples], "text string")
+        got = [r[0] for r in df.select(token_count_col("text")).collect()]
+        want = [len(re.findall(BPE_ISH_PATTERN, s)) for s in samples]
+        assert got == want
+
+
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprint(self, spark):
+        # docs 1 and 2 share a 12-word run (>= window+k-1 = 6) → must
+        # share at least one fingerprint; doc 3 is disjoint
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu".split()
+        d1 = ["x1", "x2"] + shared + ["x3"]
+        d2 = ["y1"] + shared + ["y2", "y3"]
+        d3 = [f"z{i}" for i in range(15)]
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2), (3, d3)], "doc_id long, words array<string>"
+        )
+        fps = winnow_fingerprints(df, "doc_id", "words", k=3, window=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] & by_doc[2]
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+
+    def test_determinism(self, spark, seq_small):
+        df = seq_small.withColumn("w", F.transform("tokens", lambda t: t.cast("string"))).limit(50)
+        a = sorted(map(tuple, winnow_fingerprints(df, "doc_id", "w").collect()))
+        b = sorted(map(tuple, winnow_fingerprints(df, "doc_id", "w").collect()))
+        assert a == b and len(a) > 0
+
+
+class TestMedia:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        return synth_media_df(spark, 60, payload_bytes=1024, partitions=3).cache()
+
+    def test_synth_shape(self, media):
+        rows = media.collect()
+        assert len(rows) == 60
+        assert all(len(r.payload) == 1024 for r in rows)
+        assert {r.kind for r in rows} == {"image", "audio", "video"}
+
+    def test_byte_histogram(self, media):
+        feat = byte_histogram_features(media)
+        rows = feat.collect()
+        assert all(len(r.features) == 32 for r in rows)
+        s = sum(rows[0].features)
+        assert abs(s - 1.0) < 1e-3  # L1-normalized
+        # deterministic: same id → same features across runs
+        again = {r.media_id: r.features for r in byte_histogram_features(media).collect()}
+        assert again[rows[0].media_id] == rows[0].features
+
+    def test_frame_sample(self, media):
+        frames = frame_sample(media.filter("kind = 'video'"), frame_bytes=256, every_n=2)
+        rows = frames.collect()
+        assert all(len(r.frame) == 256 for r in rows)
+        assert all(r.frame_no % 2 == 0 for r in rows)
+        per_media = {}
+        for r in rows:
+            per_media.setdefault(r.media_id, []).append(r.frame_no)
+        assert all(sorted(v) == [0, 2] for v in per_media.values())  # 1024/256=4 frames
+
+    def test_decode_stub_raises(self, media):
+        with pytest.raises(NotImplementedError, match="image decode"):
+            decode_image_meta(media)
