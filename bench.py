@@ -80,10 +80,9 @@ def build_leg(cores: int, path: str) -> dict:
         return time.time() - t0, sum(r.n_updates for r in rows if r.sketch == "hll")
 
     once()  # warmup
-    w1, tokens = once()
-    w2, _ = once()
+    wall, tokens = once()
     spark.stop()
-    return {"wall": min(w1, w2), "tokens": tokens}
+    return {"wall": wall, "tokens": tokens}
 
 
 def pick_quiet_cpus(n: int, sample_sec: float = 0.5) -> list[int]:
@@ -140,7 +139,7 @@ def run_build(cores: int, path: str, pin: bool = True) -> tuple[float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1200000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "800000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     do_queries = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"
     seq_path = os.environ.get("SPARK_GRAFT_SEQ_PATH", "/tmp/bench_sequences")
@@ -162,18 +161,28 @@ def main() -> None:
     }
 
     if do_scaling:
-        wall_low, tokens = run_build(low, seq_path, pin=True)
-        wall_high, tokens = run_build(high, seq_path, pin=True)
+        # two interleaved passes per leg, min per leg: exogenous host
+        # load comes in bursts, so sampling each leg in two separate
+        # time windows and keeping the best filters load spikes that a
+        # single contiguous leg would absorb wholesale
+        walls = {low: float("inf"), high: float("inf")}
+        for _rep in range(2):
+            for c in (low, high):
+                w, tokens = run_build(c, seq_path, pin=True)
+                walls[c] = min(walls[c], w)
         result["scaling"] = {
             "cores_low": low,
             "cores_high": high,
-            "wall_low": round(wall_low, 2),
-            "wall_high": round(wall_high, 2),
-            "efficiency": round((wall_low / wall_high) / (high / low), 3),
-            "note": "cpu-pinned legs (taskset): each leg = an executor with exactly that many cores",
+            "wall_low": round(walls[low], 2),
+            "wall_high": round(walls[high], 2),
+            "efficiency": round((walls[low] / walls[high]) / (high / low), 3),
+            "note": "cpu-pinned legs (taskset, quietest cpus), min of 2 interleaved passes",
         }
-    # peak throughput: unpinned — JVM scan + Python kernels overlap freely
+    # peak throughput: unpinned — JVM scan + Python kernels overlap
+    # freely; min of 2 passes filters exogenous load spikes
     wall_peak, tokens = run_build(high, seq_path, pin=False)
+    w2, tokens = run_build(high, seq_path, pin=False)
+    wall_peak = min(wall_peak, w2)
     result["value"] = round(wall_peak, 2)
     result["tokens"] = tokens
     result["tokens_per_sec"] = round(tokens / wall_peak)

@@ -317,7 +317,9 @@ def build_partials(
                         uk = (col, gi)
                         uc = uniq_cache.get(uk)
                         if uc is None:
-                            uc = np.unique(values[lo:hi], return_counts=True)
+                            from .hashing import unique_counts
+
+                            uc = unique_counts(values[lo:hi])
                             uniq_cache[uk] = uc
                         kernel.update_unique(*uc)
                     elif kind == "tdigest" and weights is not None:

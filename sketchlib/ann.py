@@ -128,13 +128,20 @@ def srp_topk(emb: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact embedding near-dup pairs: (id_a < id_b, cos >= threshold)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("ea"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("eb"))
+    """Exact embedding near-dup pairs: (id_a < id_b, cos >= threshold).
+
+    Norms are computed once per side before the join (a per-pair cosine
+    would redo both self-dot-products, tripling the O(n²·d) work)."""
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = base.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_col(F.col("ea"), F.col("eb")))
+        .withColumn("sim", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     )

@@ -93,7 +93,9 @@ class BloomFilter:
             return
         # dedupe: idempotent inserts, and unique() is cheaper than k
         # scattered RMWs per duplicate
-        self.update_hashed(hash_i64(np.unique(v), self.seed))
+        from .hashing import unique_counts
+
+        self.update_hashed(hash_i64(unique_counts(v)[0], self.seed))
 
     def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
         """Fast path when the caller already deduplicated the batch

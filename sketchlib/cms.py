@@ -94,7 +94,9 @@ class CountMinSketch:
         v = np.asarray(values)
         if v.size == 0:
             return
-        uniq, counts = np.unique(v, return_counts=True)
+        from .hashing import unique_counts
+
+        uniq, counts = unique_counts(v)
         self.update_hashed(hash_i64(uniq, self.seed), counts)
 
     def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:

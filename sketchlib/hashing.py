@@ -92,6 +92,24 @@ def k_positions(h: np.ndarray, k: int, m: int, seed: int) -> np.ndarray:
         return pos % _U(m)
 
 
+def unique_counts(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(return_counts=True), but O(n) via bincount when the
+    value range is dense enough (token-ID columns are small bounded
+    ints per the input contract; hashed columns fall back to the sort
+    path automatically because their range is 2^64)."""
+    if vals.size == 0:
+        return vals, np.zeros(0, dtype=np.int64)
+    if vals.dtype.kind in "iu":
+        vmin = int(vals.min())
+        vmax = int(vals.max())
+        rng = vmax - vmin
+        if 0 <= rng <= max(4 * vals.size, 1 << 16) and rng < (1 << 26):
+            c = np.bincount(vals.astype(np.int64) - vmin, minlength=rng + 1)
+            nz = np.flatnonzero(c)
+            return (nz + vmin).astype(vals.dtype, copy=False), c[nz]
+    return np.unique(vals, return_counts=True)
+
+
 def uniform01(h: np.ndarray) -> np.ndarray:
     """Map uint64 hashes to uniform floats in [0, 1) (53-bit mantissa)."""
     return (np.asarray(h, dtype=np.uint64) >> _U(11)).astype(np.float64) * (2.0**-53)

@@ -112,7 +112,9 @@ class LossyCounter:
             take = min(total - pos, room)
             chunk = values[pos : pos + take]
             b = self._window(self.n + 1)  # window every element of chunk lands in
-            uniq, counts = np.unique(chunk, return_counts=True)
+            from .hashing import unique_counts
+
+            uniq, counts = unique_counts(chunk)
             self._absorb(uniq, counts, np.full(uniq.size, b - 1, dtype=np.uint64))
             self.n += int(take)
             pos += take
