@@ -46,7 +46,40 @@ HLL_P = 14
 HLL_SLACK = 4 * 1.04 / math.sqrt(2**HLL_P)  # 4 sigma of the published bound
 
 
+_PYFILES_SENT: set = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Make sketchlib importable on executors regardless of how the
+    caller created its session: PYTHONPATH (set at module import above)
+    only reaches workers if the JVM started after it, so also ship the
+    package via addPyFile — works at runtime on any live context."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    zip_path = "/tmp/sketchlib_pyfiles.zip"
+    if not os.path.exists(zip_path):
+        import zipfile
+
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(_REPO, "sketchlib")
+            for root, _dirs, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith((".py", ".npz")):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered on this context
+    _PYFILES_SENT.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

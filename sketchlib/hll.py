@@ -29,7 +29,14 @@ from .codec import SketchCodecError, check_mergeable, pack, unpack
 from .hashing import DEFAULT_SEED, hash_i64
 
 _U = np.uint64
-_DATA = np.load(Path(__file__).resolve().parent / "_hllpp_data.npz")
+# pkgutil works from a plain directory AND from a --py-files /
+# addPyFile zip, where Path(__file__)-relative opens fail
+import io as _io
+import pkgutil as _pkgutil
+
+_DATA = np.load(
+    _io.BytesIO(_pkgutil.get_data(__package__ or "sketchlib", "_hllpp_data.npz"))
+)
 _THRESHOLDS = _DATA["thresholds"]  # index b-4
 _RAW_ESTIMATE = {b: _DATA[f"raw_{b}"] for b in range(4, 19)}
 _BIAS = {b: _DATA[f"bias_{b}"] for b in range(4, 19)}

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the merge contract under random
+data, random partitionings, random parameters.
+
+The reference proves merge ≡ single-sketch on fixed fixtures
+(hyperloglog/mod.rs:556-574 etc.); these fuzz the same contract — any
+partitioning, any merge order — which is exactly the property the Spark
+tree merge relies on (partition layout must never change results).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sketchlib import HLL, BloomFilter, CountMinSketch, KLL, TDigest
+
+SETTINGS = dict(max_examples=25, deadline=None)
+
+
+def _split(values: np.ndarray, cuts: list[int]):
+    pts = sorted({c % (values.size + 1) for c in cuts})
+    return np.split(values, pts)
+
+
+values_st = st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=3000)
+cuts_st = st.lists(st.integers(0, 10**9), min_size=0, max_size=6)
+order_seed_st = st.integers(0, 2**31)
+
+
+def _merged(kernel_cls, kwargs, parts, order_seed):
+    rng = np.random.default_rng(order_seed)
+    sketches = []
+    for p in parts:
+        k = kernel_cls(**kwargs)
+        if p.size:
+            k.update(p)
+        sketches.append(kernel_cls.from_bytes(k.to_bytes()))
+    rng.shuffle(sketches)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out.merge(s)
+    return out
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st, p=st.integers(6, 12))
+@settings(**SETTINGS)
+def test_hll_merge_equals_whole(values, cuts, order, p):
+    v = np.array(values, dtype=np.int64)
+    whole = HLL(p=p, seed=7)
+    whole.update(v)
+    merged = _merged(HLL, {"p": p, "seed": 7}, _split(v, cuts), order)
+    assert merged.to_bytes() == whole.to_bytes()  # byte-identical state
+    exact = len(set(values))
+    assert abs(whole.count() - exact) <= max(4 * 1.04 / np.sqrt(2**p) * exact, 3)
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st)
+@settings(**SETTINGS)
+def test_cms_merge_equals_whole_and_overestimates(values, cuts, order):
+    v = np.array(values, dtype=np.int64)
+    whole = CountMinSketch(512, 4, seed=3)
+    whole.update(v)
+    merged = _merged(CountMinSketch, {"w": 512, "d": 4, "seed": 3}, _split(v, cuts), order)
+    assert merged.to_bytes() == whole.to_bytes()
+    uniq, counts = np.unique(v, return_counts=True)
+    est = whole.query_points(uniq)
+    # the deterministic guarantee: CMS never undercounts (the eps*N
+    # upper bound holds w.p. 1-delta per point and is asserted
+    # statistically in test_cms.py, not per-example here)
+    assert (est >= counts.astype(np.uint64)).all()
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st)
+@settings(**SETTINGS)
+def test_bloom_merge_equals_whole_no_fn(values, cuts, order):
+    v = np.array(values, dtype=np.int64)
+    whole = BloomFilter(1 << 14, 5, seed=11)
+    whole.update(v)
+    merged = _merged(BloomFilter, {"m": 1 << 14, "k": 5, "seed": 11}, _split(v, cuts), order)
+    assert merged.to_bytes() == whole.to_bytes()
+    assert whole.query(v).all()  # zero false negatives, always
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False), min_size=1, max_size=2000
+    ),
+    cuts=cuts_st,
+    order=order_seed_st,
+)
+@settings(**SETTINGS)
+def test_kll_rank_error_after_merge(values, cuts, order):
+    v = np.array(values, dtype=np.float64)
+    merged = _merged(KLL, {"k": 200, "seed": 5}, _split(v, cuts), order)
+    assert merged.n == v.size
+    s = np.sort(v)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        # duplicate-aware: a repeated value occupies the whole rank
+        # interval [left, right]; q must fall inside it up to eps
+        lo = np.searchsorted(s, est, side="left") / v.size
+        hi = np.searchsorted(s, est, side="right") / v.size
+        assert lo - 0.15 <= q <= hi + 0.15  # generous: k=200 ⇒ eps ~ 1-2%
+
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False), min_size=1, max_size=2000
+    ),
+    cuts=cuts_st,
+    order=order_seed_st,
+)
+@settings(**SETTINGS)
+def test_tdigest_moments_exact_after_merge(values, cuts, order):
+    v = np.array(values, dtype=np.float64)
+    merged = _merged(TDigest, {"delta": 100.0}, _split(v, cuts), order)
+    assert merged.count() == v.size
+    assert merged.min == v.min() and merged.max == v.max()
+    # sums of float partitions reassociate; tolerance scales with mass
+    assert abs(merged.sum() - v.sum()) <= 1e-9 * max(1.0, np.abs(v).sum())
