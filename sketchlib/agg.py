@@ -434,3 +434,12 @@ def sketch_aggregate(
 ) -> DataFrame:
     """Build + merge in one call: one row per (group, sketch)."""
     return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)
+
+
+def rollup_states(merged: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """Multi-granularity rollup by merge-up (SURVEY.md §2.5): fold a
+    finer-grained merged-state table to coarser groups (``keep_cols`` ⊂
+    its group columns; ``[]`` = global) — a second pass over kilobyte
+    state rows instead of a recompute over the raw data. Exact for every
+    kernel: HLL/Bloom merges are idempotent, CMS/t-digest/KLL additive."""
+    return merge_partials(merged, keep_cols, fanout=None)

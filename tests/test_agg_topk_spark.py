@@ -50,3 +50,22 @@ def test_lossy_and_topk_heavy_hitters(spark, seq_small):
         assert t_items[0] == best_tok
         assert t_counts[0] >= best_cnt  # CMS never undercounts
         assert t_counts[0] <= best_cnt + (np.e / 8192) * n
+
+
+def test_rollup_equals_direct(spark, seq_small):
+    from sketchlib.agg import rollup_states
+    from sketchlib.estimates import hll_count
+    from pyspark.sql import functions as F
+
+    specs = [
+        SketchSpec("hll", "hll", "tokens", {"p": 12, "seed": 3}),
+        SketchSpec("cms", "cms", "tokens", {"w": 1024, "d": 4, "seed": 3}),
+    ]
+    per_source = sketch_aggregate(seq_small, ["source"], specs, fanout=4)
+    global_direct = sketch_aggregate(seq_small, [], specs, fanout=4)
+    global_rolled = rollup_states(per_source, [])
+    d = {r["sketch"]: bytes(r["state"]) for r in global_direct.collect()}
+    r = {r["sketch"]: bytes(r["state"]) for r in global_rolled.collect()}
+    # HLL (elementwise max) and CMS (elementwise sum) are tree-shape
+    # independent: rollup of per-source states == direct global build
+    assert d == r
