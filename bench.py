@@ -165,7 +165,14 @@ def run_build(cores: int, path: str, pin: bool = True) -> tuple[float, int]:
         if preexec is None and shutil.which("taskset"):
             cpus = pick_quiet_cpus(cores)
             cmd = ["taskset", "-c", ",".join(map(str, cpus))] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True, preexec_fn=preexec)
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, preexec_fn=preexec, timeout=170
+        )
+    except subprocess.TimeoutExpired:
+        # a leg stuck in a heavy host-load burst: record "no sample"
+        # rather than letting one bad window eat the whole run budget
+        return float("inf"), 0
     leg = json.loads(out.stdout.strip().splitlines()[-1])
     return leg["wall"], leg["tokens"]
 
@@ -184,6 +191,14 @@ def main() -> None:
     # the host's free capacity for the ratio to mean anything.
     high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(8, cpus))))
     low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", str(max(2, high // 4))))
+    # overall self-budget: ALWAYS emit the JSON line, degrading
+    # measurement depth first (fewer scaling passes, then no second
+    # peak pass) rather than risking an external kill with no output
+    t_start = time.time()
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "470"))
+
+    def remaining() -> float:
+        return deadline - (time.time() - t_start)
 
     ensure_sequences(n_docs, seq_path)
 
@@ -193,47 +208,60 @@ def main() -> None:
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
         "bench_docs": n_docs,
     }
+    tokens = 0
 
-    t_start = time.time()
     if do_scaling:
         # interleaved passes per leg, min per leg: exogenous host load
         # comes in bursts, so each leg is sampled in separate time
         # windows and the best kept — a single contiguous leg absorbs a
-        # burst wholesale. Passes continue (within a time budget) until
-        # the min-based efficiency stabilizes: the job is deterministic,
-        # so min-over-windows converges to the true unloaded wall.
-        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "260"))
+        # burst wholesale. Passes continue (within the time budget)
+        # until the min-based efficiency stabilizes: the job is
+        # deterministic, so min-over-windows converges to the true
+        # unloaded wall.
         walls = {low: float("inf"), high: float("inf")}
         passes = 0
 
         def eff() -> float:
+            if not (walls[low] < float("inf") and walls[high] < float("inf")):
+                return 0.0
             return (walls[low] / walls[high]) / (high / low)
 
-        while passes < 2 or (eff() < 0.85 and passes < 4 and time.time() - t_start < budget):
+        # reserve ~170s for the peak run + queries leg
+        while (passes < 2 and remaining() > 120) or (
+            eff() < 0.85 and passes < 4 and remaining() > 240
+        ):
             for c in (low, high):
-                w, tokens = run_build(c, seq_path, pin=True)
+                w, tk = run_build(c, seq_path, pin=True)
                 walls[c] = min(walls[c], w)
+                tokens = tokens or tk
             passes += 1
         result["scaling"] = {
             "cores_low": low,
             "cores_high": high,
-            "wall_low": round(walls[low], 2),
-            "wall_high": round(walls[high], 2),
-            "efficiency": round(eff(), 3),
+            "wall_low": round(walls[low], 2) if walls[low] < float("inf") else None,
+            "wall_high": round(walls[high], 2) if walls[high] < float("inf") else None,
+            "efficiency": round(eff(), 3) if eff() else None,
             "passes": passes,
             "cap": "cgroup-cpu-quota" if _cgroup_preexec(1) else "taskset",
             "note": "each leg capped to exactly N cores of cpu capacity; min over interleaved passes filters exogenous host-load bursts",
         }
-    # peak throughput: unpinned — JVM scan + Python kernels overlap
-    # freely; min of 2 passes filters exogenous load spikes
-    wall_peak, tokens = run_build(high, seq_path, pin=False)
-    w2, tokens = run_build(high, seq_path, pin=False)
-    wall_peak = min(wall_peak, w2)
-    result["value"] = round(wall_peak, 2)
-    result["tokens"] = tokens
-    result["tokens_per_sec"] = round(tokens / wall_peak)
-    # each token updates HLL+CMS+Bloom; each doc updates the t-digest once
-    result["token_updates_per_sec"] = round(3 * tokens / wall_peak + n_docs / wall_peak)
+    # peak throughput: uncapped — JVM scan + Python kernels overlap
+    # freely; second pass (budget permitting) filters load spikes
+    wall_peak, tk = run_build(high, seq_path, pin=False)
+    tokens = tokens or tk
+    if remaining() > 100:
+        w2, tk = run_build(high, seq_path, pin=False)
+        tokens = tokens or tk
+        wall_peak = min(wall_peak, w2)
+    if wall_peak < float("inf") and tokens:
+        result["value"] = round(wall_peak, 2)
+        result["tokens"] = tokens
+        result["tokens_per_sec"] = round(tokens / wall_peak)
+        # each token updates HLL+CMS+Bloom; each doc updates the t-digest once
+        result["token_updates_per_sec"] = round(3 * tokens / wall_peak + n_docs / wall_peak)
+    else:  # every window timed out — still emit a valid line
+        result["value"] = None
+        result["tokens"] = tokens or None
 
     queries: dict = {}
     if do_queries:
@@ -241,6 +269,9 @@ def main() -> None:
 
         spark = get_spark("bench-queries", cores=cpus)
         for name, fn in mod.queries().items():
+            if remaining() < 15:
+                queries[name] = "SKIPPED: time budget"
+                continue
             t0 = time.time()
             try:
                 fn(spark, sf_dir).collect()
