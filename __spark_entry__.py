@@ -58,19 +58,29 @@ def _ensure_workers(spark: SparkSession) -> None:
     key = id(sc)
     if key in _PYFILES_SENT:
         return
-    zip_path = "/tmp/sketchlib_pyfiles.zip"
-    if not os.path.exists(zip_path):
-        import zipfile
+    import hashlib
+    import zipfile
 
+    pkg = os.path.join(_REPO, "sketchlib")
+    members = []
+    for root, _dirs, files in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith((".py", ".npz")):
+                members.append(os.path.join(root, f))
+    # name the zip by a content hash so executors never import a stale
+    # package after sketchlib/ edits (existence-only caching did)
+    h = hashlib.sha256()
+    for full in sorted(members):
+        h.update(full.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    zip_path = f"/tmp/sketchlib_pyfiles_{h.hexdigest()[:16]}.zip"
+    if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(_REPO, "sketchlib")
-            for root, _dirs, files in os.walk(pkg):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith((".py", ".npz")):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+            for full in sorted(members):
+                z.write(full, os.path.relpath(full, _REPO))
     try:
         sc.addPyFile(zip_path)
     except Exception:
@@ -532,7 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_stats": """
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(n_words) AS total_words,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words,
                    CAST(SUM(n_stop) AS DOUBLE) / SUM(n_words) AS stopword_ratio,
                    CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words_per_doc
             FROM (
@@ -591,8 +601,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_regex": r"""
             SELECT source,
-                   SUM(n) AS total_tokens,
-                   MAX(n) AS max_tokens
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(MAX(n) AS BIGINT) AS max_tokens
             FROM (
                 SELECT source,
                        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n

@@ -229,7 +229,22 @@ def _grouped_column(arr: pa.Array, want_float: bool, row_order, row_bounds: np.n
     else:
         cum = np.concatenate([[0], np.cumsum(lengths)])
         value_bounds = cum[row_bounds]
-    return values, value_bounds
+    # lengths is the per-row value count after reorder (None ⇒ all 1);
+    # callers compare it across columns for exact per-row alignment
+    return values, value_bounds, lengths
+
+
+def _rows_aligned(alen, blen) -> bool:
+    """True iff two columns' per-row value counts are identical, i.e.
+    paired columns (value, weight) have values on exactly the same rows.
+    ``None`` means every row contributes exactly one value."""
+    if alen is None and blen is None:
+        return True
+    if alen is None:
+        return bool((blen == 1).all())
+    if blen is None:
+        return bool((alen == 1).all())
+    return bool(np.array_equal(alen, blen))
 
 
 def build_partials(
@@ -319,13 +334,16 @@ def build_partials(
 
             for name, kind, col, params, wcol in specs_payload:
                 want_float = kind in _NUMERIC_KINDS
-                values, bounds = grouped(col, want_float)
+                values, bounds, vlens = grouped(col, want_float)
                 if values.size == 0:
                     continue
                 weights = None
                 if wcol is not None:
-                    weights, wbounds = grouped(wcol, True)
-                    if not np.array_equal(wbounds, bounds):
+                    weights, wbounds, wlens = grouped(wcol, True)
+                    # per-ROW alignment, not just per-group counts: equal
+                    # null counts with nulls on different rows would pair
+                    # values with the wrong rows' weights
+                    if not np.array_equal(wbounds, bounds) or not _rows_aligned(vlens, wlens):
                         raise ValueError(f"weight col {wcol} nulls misaligned with {col}")
                 dedupable = kind in _HASHED_KINDS and kind != "lossy"
                 for gi in range(G):

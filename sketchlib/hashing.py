@@ -104,9 +104,15 @@ def unique_counts(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         vmax = int(vals.max())
         rng = vmax - vmin
         if 0 <= rng <= max(4 * vals.size, 1 << 16) and rng < (1 << 26):
-            c = np.bincount(vals.astype(np.int64) - vmin, minlength=rng + 1)
+            if vals.dtype.kind == "u":
+                # shift in the array's own unsigned dtype: uint64 values
+                # >= 2^63 would promote int64-minus-python-int to float64
+                shifted = (vals - vals.dtype.type(vmin)).astype(np.int64)
+            else:
+                shifted = vals.astype(np.int64) - vmin
+            c = np.bincount(shifted, minlength=rng + 1)
             nz = np.flatnonzero(c)
-            return (nz + vmin).astype(vals.dtype, copy=False), c[nz]
+            return (nz.astype(vals.dtype) + vals.dtype.type(vmin)), c[nz]
     return np.unique(vals, return_counts=True)
 
 

@@ -52,13 +52,22 @@ def fit_language_profiles(
             )
         ).alias("g"),
     )
-    counts = grams.filter(F.length("g") == n).groupBy("lang", "g").count().collect()
+    from pyspark.sql import Window
+
+    counts = grams.filter(F.length("g") == n).groupBy("lang", "g").count()
+    # truncate to the top-N n-grams per language DISTRIBUTEDLY before any
+    # collect: at corpus scale the full (lang, gram) set is unbounded but
+    # langs * top is a few KB. Window top-N shuffles only the counted
+    # (lang, gram) rows, never raw text.
+    w = Window.partitionBy("lang").orderBy(F.desc("count"), F.asc("g"))
+    kept_rows = (
+        counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= top).collect()
+    )
     by_lang: dict[str, dict[str, float]] = {}
-    for r in counts:
+    for r in kept_rows:
         by_lang.setdefault(r["lang"], {})[r["g"]] = float(r["count"])
     profiles = {}
-    for lang, g in by_lang.items():
-        kept = dict(sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))[:top])
+    for lang, kept in by_lang.items():
         norm = float(np.sqrt(sum(v * v for v in kept.values())))
         profiles[lang] = {k: v / norm for k, v in kept.items()}
     return profiles

@@ -342,9 +342,16 @@ def topk_exact_rescore(df, group_cols: list[str], col: str, k: int, candidates_p
     # certificate: kth count per group must exceed the sum of residuals
     bounds = cands.groupBy(*group_cols).agg(F.sum(F.col("residual")).alias("bound"))
     kth = topk.groupBy(*group_cols).agg(F.min("cnt").alias("kth"), F.count(F.lit(1)).alias("nk"))
+    # two failure modes: (a) enough candidates but the kth's exact count
+    # doesn't beat the residual bound; (b) FEWER than k candidates while
+    # non-candidate values could still exist (bound > 0) — without (b) a
+    # group with k > distinct candidates would silently truncate
     bad = (
         kth.join(bounds, group_cols)
-        .filter((F.col("nk") >= k) & (F.col("kth") <= F.col("bound")))
+        .filter(
+            ((F.col("nk") >= k) & (F.col("kth") <= F.col("bound")))
+            | ((F.col("nk") < k) & (F.col("bound") > 0))
+        )
         .limit(1)
         .count()
     )
