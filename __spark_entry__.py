@@ -438,6 +438,228 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs(docs, "doc_id", "words", threshold=0.5, n_hashes=64, bands=32)
 
 
+def q_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LossyCounter (Manku-Motwani) heavy hitters, distributed build +
+    merge, checked against the reference guarantees
+    (lossycounter.rs:258-273): query(theta) is a SUPERSET of the true
+    theta-heavy hitters, and each reported f undercounts its true count
+    by at most eps*n. Output rows are the EXACT heavy hitters with
+    booleans that flip on any guarantee violation."""
+    from sketchlib.topk import LossyCounter
+
+    eps, inv_theta = 0.001, 50  # theta = 0.02
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs, [], [SketchSpec("lossy", "lossy", "words", {"epsilon": eps})], fanout=8
+    )
+    lc = LossyCounter.from_bytes(bytes(merged.select("state").collect()[0][0]))
+    items, f = lc.query(1.0 / inv_theta)
+    n = int(lc.n)
+    slack = int(math.ceil(eps * n))
+    fdf = spark.createDataFrame(
+        list(zip(items.tolist(), f.astype("int64").tolist())) or [(None, None)],
+        "item long, f long",
+    ).filter(F.col("item").isNotNull())
+    exact = (
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * inv_theta >= F.lit(n))  # exact integer arithmetic
+    )
+    joined = exact.withColumn("h", F.xxhash64("word")).join(
+        F.broadcast(fdf), F.col("h") == F.col("item"), "left"
+    )
+    return joined.select(
+        "word",
+        "cnt",
+        F.col("item").isNotNull().alias("in_lossy"),
+        (
+            F.col("item").isNotNull()
+            & (F.col("f") <= F.col("cnt"))
+            & (F.col("f") + F.lit(slack) >= F.col("cnt"))
+        ).alias("f_ok"),
+    )
+
+
+def q_topk_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-heap TopK sketch (cmsheap.rs:117-219): the exact top-5 words
+    must all appear in the sketch's top-16, with estimates inside the
+    CMS bound a <= â <= a + e/w * N."""
+    from sketchlib.topk import TopK
+
+    w, d, k = 2048, 5, 16
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs,
+        [],
+        [SketchSpec("tk", "topk", "words", {"k": k, "w": w, "d": d, "seed": SEED})],
+        fanout=8,
+    )
+    tk = TopK.from_bytes(bytes(merged.select("state").collect()[0][0]))
+    items, est = tk.query()
+    eps_n = math.e / w * float(tk.cms.total())
+    idf = spark.createDataFrame(
+        list(zip(items.tolist(), est.astype("int64").tolist())) or [(None, None)],
+        "item long, est long",
+    ).filter(F.col("item").isNotNull())
+    exact5 = (
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(5)
+    )
+    joined = exact5.withColumn("h", F.xxhash64("word")).join(
+        F.broadcast(idf), F.col("h") == F.col("item"), "left"
+    )
+    return joined.select(
+        "word",
+        "cnt",
+        F.col("item").isNotNull().alias("in_topk"),
+        (
+            F.col("item").isNotNull()
+            & (F.col("est") >= F.col("cnt"))
+            & (F.col("est") <= F.col("cnt") + F.lit(eps_n))
+        ).alias("est_ok"),
+    )
+
+
+def q_bloom_len_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom len() cardinality estimate (bloomfilter.rs:296-304,
+    -m/k * ln(1 - X/m)): per event_type, the estimate must land within
+    2% + 10 of the exact distinct-user count (filter is ~1% full at
+    these n, where the estimator's relative error is well under 1%)."""
+    from sketchlib.estimates import bloom_len
+
+    ev = _t(spark, sf_dir, "events")
+    merged = sketch_aggregate(
+        ev,
+        ["event_type"],
+        [SketchSpec("b", "bloom", "user_id", {"m": 1 << 20, "k": 7, "seed": SEED})],
+        fanout=8,
+    )
+    est = merged.withColumn("est", bloom_len("state")).select("event_type", "est")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("distinct_users"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "distinct_users",
+        (
+            F.abs(F.col("est") - F.col("distinct_users"))
+            <= F.greatest(F.lit(0.02) * F.col("distinct_users"), F.lit(10.0))
+        ).alias("len_ok"),
+    )
+
+
+def q_tdigest_cdf_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest cdf() (tdigest.rs:448-481, centroid-midpoint
+    interpolation) per l_returnflag at fixed probe points vs the exact
+    rank fraction; half-integer probes dodge tie ambiguity on the
+    integer-valued l_quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    merged = sketch_aggregate(
+        li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout=8
+    )
+    rows = merged.select("l_returnflag", "state").collect()
+    probes = (10.5, 25.5, 40.5)
+    cdf_rows = []
+    for flag, blob in rows:
+        td = TDigest.from_bytes(bytes(blob))
+        cdf_rows.append((flag, *(float(td.cdf(x)) for x in probes)))
+    cdf_df = spark.createDataFrame(cdf_rows, "l_returnflag string, c10 double, c25 double, c40 double")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum((F.col("l_quantity") <= 10.5).cast("long")) / F.count(F.lit(1))).alias("r10"),
+        (F.sum((F.col("l_quantity") <= 25.5).cast("long")) / F.count(F.lit(1))).alias("r25"),
+        (F.sum((F.col("l_quantity") <= 40.5).cast("long")) / F.count(F.lit(1))).alias("r40"),
+    )
+    return exact.join(F.broadcast(cdf_df), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("c10") - F.col("r10")) <= 0.02).alias("cdf10_ok"),
+        (F.abs(F.col("c25") - F.col("r25")) <= 0.02).alias("cdf25_ok"),
+        (F.abs(F.col("c40") - F.col("r40")) <= 0.02).alias("cdf40_ok"),
+    )
+
+
+def q_cuckoo_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo filter full lifecycle on the BUILDING customer keys:
+    two half-filters built + fallibly unioned (cuckoofilter.rs:514-555),
+    exact len after insert (:569-576), zero false negatives, delete of
+    every other key returns 'was present' and decrements len exactly
+    (:356-368), and the remaining keys still query true (each delete
+    removes exactly one stored fingerprint copy, so survivors keep >= 1).
+    Every output value is deterministic and oracle-computable from
+    COUNT(DISTINCT c_custkey)."""
+    import numpy as np
+
+    from sketchlib.cuckoo import CuckooFilter
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    keys = sorted(r[0] for r in cust.select("c_custkey").distinct().collect())
+    arr = np.asarray(keys, dtype=np.int64)
+    n = int(arr.size)
+    half = n // 2
+    mk = lambda: CuckooFilter.with_properties_4(0.02, max(1024, 2 * n), seed=SEED)
+    f1, f2 = mk(), mk()
+    f1.update(arr[:half])
+    f2.update(arr[half:])
+    f1.merge(f2)
+    len_ins = len(f1)
+    fn_inserted = int((~f1.query(arr)).sum())
+    deleted = arr[::2]
+    was_present = f1.delete(deleted)
+    len_del = len(f1)
+    fn_remaining = int((~f1.query(arr[1::2])).sum())
+    row = [
+        (
+            n,
+            len_ins,
+            fn_inserted,
+            int(deleted.size),
+            bool(was_present.all()),
+            len_del,
+            fn_remaining,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_keys long, len_after_insert long, fn_inserted long, n_deleted long, "
+        "deleted_all_present boolean, len_after_delete long, fn_remaining long",
+    )
+
+
+def q_quotient_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient filter lifecycle on the BUILDING customer keys: two
+    half-filters merged by cluster decode (quotientfilter.rs:374-448),
+    r = 64 - q so the fingerprint keeps all 64 hash bits — len after
+    insert is exactly n, zero false negatives, and 256 absent probes
+    yield zero false positives (a fp would need an exact 64-bit hash
+    collision)."""
+    import numpy as np
+
+    from sketchlib.quotient import QuotientFilter
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    keys = sorted(r[0] for r in cust.select("c_custkey").distinct().collect())
+    arr = np.asarray(keys, dtype=np.int64)
+    n = int(arr.size)
+    q = max(10, int(np.ceil(np.log2(max(2 * n, 4)))))
+    r = 64 - q
+    half = n // 2
+    f1, f2 = QuotientFilter(q, r, seed=SEED), QuotientFilter(q, r, seed=SEED)
+    f1.update(arr[:half])
+    f2.update(arr[half:])
+    f1.merge(f2)
+    len_ins = len(f1)
+    fn_count = int((~f1.query(arr)).sum())
+    probes = np.arange(-256, 0, dtype=np.int64)  # custkeys are positive
+    fp_count = int(f1.query(probes).sum())
+    row = [(n, len_ins, fn_count, fp_count)]
+    return spark.createDataFrame(
+        row, "n_keys long, len_after_insert long, fn_count long, fp_count long"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
     "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
@@ -456,6 +678,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_regex": q_token_count_regex,
     "simhash_neardup": q_simhash_neardup,
+    "lossy_heavy_hitters": q_lossy_heavy_hitters,
+    "topk_sketch_words": q_topk_sketch_words,
+    "bloom_len_estimate": q_bloom_len_estimate,
+    "tdigest_cdf_quantity": q_tdigest_cdf_quantity,
+    "cuckoo_filter_ops": q_cuckoo_filter_ops,
+    "quotient_filter_ops": q_quotient_filter_ops,
 }
 
 
@@ -609,6 +837,66 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY source
+        """,
+        "lossy_heavy_hitters": """
+            WITH wc AS (
+                SELECT w AS word, COUNT(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w
+            ),
+            tot AS (SELECT SUM(cnt) AS n FROM wc)
+            SELECT word, cnt, TRUE AS in_lossy, TRUE AS f_ok
+            FROM wc, tot
+            WHERE cnt * 50 >= n
+        """,
+        "topk_sketch_words": """
+            SELECT word, cnt, TRUE AS in_topk, TRUE AS est_ok
+            FROM (
+                SELECT w AS word, COUNT(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w
+                ORDER BY cnt DESC, word ASC
+                LIMIT 5
+            )
+        """,
+        "bloom_len_estimate": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   TRUE AS len_ok
+            FROM events
+            GROUP BY event_type
+        """,
+        "tdigest_cdf_quantity": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   TRUE AS cdf10_ok,
+                   TRUE AS cdf25_ok,
+                   TRUE AS cdf40_ok
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "cuckoo_filter_ops": """
+            SELECT CAST(n AS BIGINT) AS n_keys,
+                   CAST(n AS BIGINT) AS len_after_insert,
+                   CAST(0 AS BIGINT) AS fn_inserted,
+                   CAST((n + 1) // 2 AS BIGINT) AS n_deleted,
+                   TRUE AS deleted_all_present,
+                   CAST(n // 2 AS BIGINT) AS len_after_delete,
+                   CAST(0 AS BIGINT) AS fn_remaining
+            FROM (
+                SELECT COUNT(DISTINCT c_custkey) AS n
+                FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+        """,
+        "quotient_filter_ops": """
+            SELECT CAST(n AS BIGINT) AS n_keys,
+                   CAST(n AS BIGINT) AS len_after_insert,
+                   CAST(0 AS BIGINT) AS fn_count,
+                   CAST(0 AS BIGINT) AS fp_count
+            FROM (
+                SELECT COUNT(DISTINCT c_custkey) AS n
+                FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
         """,
         # minhash_lsh_neardup / simhash_neardup: intentionally no oracle
         # (probabilistic candidate generation / bit-vote signatures are
