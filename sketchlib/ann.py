@@ -147,12 +147,98 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float,
     )
 
 
+def cosine_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs (cos >= threshold, id_a < id_b) without a
+    Catalyst cartesian product: the classic 2D-blocked all-pairs scheme.
+
+    Vectors are hashed into ``n_blocks`` balanced blocks; each of the
+    ``n_blocks*(n_blocks+1)/2`` block PAIRS becomes one ``applyInPandas``
+    group that computes its sim tile with a single BLAS matmul and emits
+    only the >=threshold pairs. Exact threshold-join is inherently
+    Ω(n²·d) FLOPS — the design choices that matter at scale are (a)
+    those FLOPS run in BLAS, not per-pair Catalyst array folds (~100×),
+    (b) communication is O(n·n_blocks) replicated rows (the standard 2D
+    tradeoff), each tile fits executor memory, and (c) at 100 TB you
+    bound n² by running this kernel per dedup-cluster / LSH bucket —
+    see :func:`srp_neardup_pairs` for the sub-quadratic candidate path.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if n_blocks is None:
+        n_blocks = max(1, -(-emb.count() // block_rows))
+    bpairs = [(bp, i, j) for bp, (i, j) in enumerate(
+        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    )]
+    bp_df = spark.createDataFrame(bpairs, "bp int, bi int, bj int")
+    blocked = base.withColumn(
+        "blk", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int")
+    )
+    side_a = blocked.join(F.broadcast(bp_df), F.col("blk") == F.col("bi")).select(
+        "bp", F.lit(0).alias("role"), "vid", "v", (F.col("bi") == F.col("bj")).alias("diag")
+    )
+    side_b = blocked.join(
+        F.broadcast(bp_df.filter(F.col("bi") != F.col("bj"))), F.col("blk") == F.col("bj")
+    ).select("bp", F.lit(1).alias("role"), "vid", "v", F.lit(False).alias("diag"))
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField("id_a", id_type, False), StructField("id_b", id_type, False)]
+    )
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == 0]
+        diag = bool(a["diag"].iloc[0]) if len(a) else False
+        b = a if diag else pdf[pdf["role"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        if diag:
+            mb = ma
+        else:
+            mb = np.stack(b["v"].to_numpy()).astype(np.float64)
+            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids_a = a["vid"].to_numpy()[ia]
+        ids_b = b["vid"].to_numpy()[ib]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi  # drops self-pairs and diagonal double-counts
+        pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        return pd.DataFrame({"id_a": pairs[:, 0], "id_b": pairs[:, 1]})
+
+    return side_a.unionByName(side_b).groupBy("bp").applyInPandas(tile, out_schema)
+
+
 def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
                       n_bits: int = 6, n_tables: int = 8, seed: int = DEFAULT_SEED,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      bucket_cap: int | None = 8192) -> DataFrame:
     """LSH-bucketed near-dup pairs, exactly verified (cos >= threshold).
-    Same-bucket candidates only — no cross join of the corpus."""
+    Same-bucket candidates only — no cross join of the corpus. Buckets
+    above ``bucket_cap`` members are dropped (hot-bucket guard: a
+    degenerate key would make the self-join O(bucket²)); recall loss is
+    confined to those keys and auditable by counting per-key rows."""
     sig = _bucketed(srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed))
+    if bucket_cap is not None:
+        hot = (
+            sig.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > bucket_cap)
+            .select("key")
+        )
+        sig = sig.join(F.broadcast(hot), "key", "left_anti")
     x, y = sig.alias("x"), sig.alias("y")
     cands = (
         x.join(y, (F.col("x.key") == F.col("y.key")) & (F.col("x.vid") < F.col("y.vid")))

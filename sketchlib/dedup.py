@@ -157,6 +157,63 @@ def simhash_signatures(
     return hashed.mapInArrow(fn, out_schema)
 
 
+def _cap_bucket_keys(exploded: DataFrame, cap: int) -> DataFrame:
+    """Drop (band, key) buckets with more than ``cap`` members — the
+    LSH hot-bucket guard. Without it a degenerate key (a cluster of
+    near-identical docs that survived exact-dup removal) makes the
+    band self-join O(bucket²); at 100 TB a 10⁶-doc cluster is 10¹²
+    candidate pairs. Exact duplicates never reach here (they are
+    collapsed to one representative first), so dropped keys are logged
+    data loss of *near*-dup recall only, bounded and inspectable via
+    :func:`lsh_bucket_stats`."""
+    if cap is None:
+        return exploded
+    hot = (
+        exploded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > cap)
+        .select("band", "key")
+    )
+    return exploded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+
+
+def lsh_bucket_stats(exploded: DataFrame, cap: int) -> DataFrame:
+    """(n_keys, n_hot_keys, max_bucket): audit how much `cap` drops."""
+    return exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n") > cap).cast("long")).alias("n_hot_keys"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame) -> DataFrame:
+    """Expand representative-level near-dup pairs back to all docs.
+
+    ``members``: (doc_id, fp, rep). Exact duplicates share a
+    fingerprint, hence a representative, hence *exactly* the rep's
+    similarity to everything else — so the expansion is exact, and the
+    quadratic cost lives only in the true answer's own size, never in
+    LSH candidate generation."""
+    la = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma"))
+    lb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rep_pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"), F.greatest("ma", "mb").alias("doc_b")
+        )
+    )
+    m1 = members.select("fp", F.col("doc_id").alias("doc_a"))
+    m2 = members.select("fp", F.col("doc_id").alias("doc_b"))
+    intra = (
+        m1.join(m2, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    # disjoint by construction: intra pairs share fp, cross pairs don't
+    return cross.unionByName(intra)
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -164,17 +221,34 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     seed: int = DEFAULT_SEED,
+    bucket_cap: int | None = 4096,
+    expand_exact_dups: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Candidates via band blocking (pigeonhole: distance <= bands-1
-    guarantees some band matches exactly, so recall is 1.0 whenever
-    ``max_hamming < bands``); exact hamming verify on candidates."""
+    Scale hardening: exact duplicates (identical word arrays,
+    fingerprint = xxhash64(words)) are collapsed to one representative
+    BEFORE banding, and (band, key) buckets above ``bucket_cap`` are
+    dropped — see :func:`_cap_bucket_keys`. Candidates via band
+    blocking (pigeonhole: distance <= bands-1 guarantees some band
+    matches exactly, so rep-level recall is 1.0 whenever
+    ``max_hamming < bands`` and no bucket overflows the cap); exact
+    hamming verify on candidates; rep pairs expand exactly back to all
+    duplicates (identical words ⇒ identical signature)."""
     if 64 % bands:
         raise ValueError(f"bands ({bands}) must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    sig = simhash_signatures(df, id_col, words_col, seed)
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(words_col).alias("__w")).filter(
+        F.size("__w") > 0
+    )
+    fps = docs.select("doc_id", F.xxhash64("__w", F.lit(seed)).alias("fp"))
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    members = fps.join(reps, "fp").select("doc_id", "fp", "rep")
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    sig = simhash_signatures(rep_docs, "doc_id", "__w", seed)
     parts = sig.select(
         "doc_id",
         "sig",
@@ -185,6 +259,7 @@ def simhash_neardup_pairs(
             ])
         ).alias("band", "key"),
     )
+    parts = _cap_bucket_keys(parts, bucket_cap)
     x, y = parts.alias("x"), parts.alias("y")
     cands = (
         x.join(
@@ -202,7 +277,10 @@ def simhash_neardup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.filter(hamming <= max_hamming).select("doc_a", "doc_b")
+    rep_pairs = cands.filter(hamming <= max_hamming).select("doc_a", "doc_b")
+    if not expand_exact_dups:
+        return rep_pairs
+    return _expand_rep_pairs(rep_pairs, members)
 
 
 def minhash_neardup_pairs(
@@ -214,9 +292,27 @@ def minhash_neardup_pairs(
     n_hashes: int = 64,
     bands: int = 32,
     seed: int = DEFAULT_SEED,
+    bucket_cap: int | None = 4096,
+    expand_exact_dups: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b) with exact shingle-Jaccard
-    >= threshold, found via LSH candidate buckets."""
+    >= threshold, found via LSH candidate buckets.
+
+    Scale hardening (the two 100 TB failure modes):
+    1. exact duplicates (identical shingle-hash SET, fingerprint =
+       xxhash64(sorted distinct hashes)) collapse to one representative
+       before banding — a 10⁶-doc identical cluster contributes ONE row
+       per band instead of 10¹² candidate pairs; rep-level pairs expand
+       exactly afterwards (same shingle set ⇒ same Jaccard to
+       everything).
+    2. surviving (band, key) buckets above ``bucket_cap`` are dropped
+       (:func:`_cap_bucket_keys`), bounding any self-join to
+       O(cap²) per key; audit with :func:`lsh_bucket_stats`.
+
+    Candidates are exactly verified, so precision is 1.0; recall is the
+    LSH ``1 - (1 - J^r)^b`` at rep level (r=2, b=32 here ⇒ >0.9999 at
+    J=0.5).
+    """
     shingles = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(
@@ -224,9 +320,26 @@ def minhash_neardup_pairs(
                 F.transform(shingle_col(words_col, shingle_n), lambda x: F.xxhash64(x))
             )
         ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    fps = shingles.select("doc_id", F.xxhash64("sh").alias("fp"))
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    members = fps.join(reps, "fp").select("doc_id", "fp", "rep")
+    rep_sh = shingles.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     )
-    bandkeys = minhash_band_keys(df, id_col, words_col, shingle_n, n_hashes, bands, seed)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    bandkeys = rep_sh.mapInArrow(
+        _signature_fn(n_hashes, bands, seed),
+        StructType(
+            [
+                StructField("doc_id", df.schema[id_col].dataType, False),
+                StructField("band_keys", ArrayType(LongType()), False),
+            ]
+        ),
+    )
     exploded = bandkeys.select("doc_id", F.posexplode("band_keys").alias("band", "key"))
+    exploded = _cap_bucket_keys(exploded, bucket_cap)
     a = exploded.alias("a")
     b = exploded.alias("b")
     cands = (
@@ -239,11 +352,13 @@ def minhash_neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = rep_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = rep_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = cands.join(sa, "doc_a").join(sb, "doc_b")
-    # exact verify on sorted hash arrays: |A ∩ B| / |A ∪ B| >= t, i.e.
-    # 2*inter >= t' (avoid fp): inter/(sz_a+sz_b-inter) >= threshold
+    # exact verify on sorted hash arrays: |A ∩ B| / |A ∪ B| >= t
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return pairs.filter(inter >= F.lit(threshold) * union).select("doc_a", "doc_b")
+    rep_pairs = pairs.filter(inter >= F.lit(threshold) * union).select("doc_a", "doc_b")
+    if not expand_exact_dups:
+        return rep_pairs
+    return _expand_rep_pairs(rep_pairs, members)
