@@ -694,6 +694,26 @@ def q_quotient_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-salting contract (north rule), driver-verified: the
+    canonical skew-safe exact distinct. Phase 1 groups by
+    (event_type, salt) where salt = hash(user_id) % 32 — each user
+    lands in exactly ONE salt bucket per group, so a hot event_type
+    spreads over 32 reducers instead of melting one; phase 2 sums the
+    per-bucket distinct counts (exact, associative). The plan's first
+    exchange hashes on (event_type, __salt) — the salted exchange."""
+    from sketchlib.salt import with_salt
+
+    ev = _t(spark, sf_dir, "events")
+    salted = with_salt(ev, 32, cols=["user_id"])
+    part = salted.groupBy("event_type", "__salt").agg(
+        F.countDistinct("user_id").alias("du"), F.count(F.lit(1)).alias("cnt")
+    )
+    return part.groupBy("event_type").agg(
+        F.sum("du").alias("distinct_users"), F.sum("cnt").alias("n_events")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
     "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
@@ -719,6 +739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdigest_cdf_quantity": q_tdigest_cdf_quantity,
     "cuckoo_filter_ops": q_cuckoo_filter_ops,
     "quotient_filter_ops": q_quotient_filter_ops,
+    "salted_skew_distinct_users": q_salted_skew_distinct_users,
 }
 
 
@@ -960,6 +981,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT COUNT(DISTINCT c_custkey) AS n
                 FROM customer WHERE c_mktsegment = 'BUILDING'
             )
+        """,
+        "salted_skew_distinct_users": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
         # simhash_neardup: intentionally no oracle (bit-vote signatures
         # are not SQL-expressible); banding-vs-full-scan equality and

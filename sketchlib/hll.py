@@ -127,12 +127,58 @@ class HLL:
 
     # -- estimate ---------------------------------------------------
     def _estimate_bias(self, e: float) -> float:
+        """Faithful port of the reference's expanding 6-NN search
+        (mod.rs:209-272), replacing the earlier argsort-6NN: the two
+        differ at boundaries. Two deliberate quirks are preserved:
+        (1) on an EXACT table hit both start pointers are the hit index
+        and the first (left) pick does not advance the right pointer,
+        so the hit index is counted twice in the 6-neighbor mean;
+        (2) the search uses Rust ``binary_search_by`` semantics (early
+        return on a probed midpoint equal to e), which matters because
+        several precisions' raw tables are not strictly monotonic.
+        Scalar 6-step loop — count() runs once per merged state row."""
         raw = _RAW_ESTIMATE[self.p]
-        # 6 nearest neighbors by |raw - e| (raw is sorted, so these are a
-        # contiguous window; stable sort prefers the left one on ties,
-        # like the reference's expanding search, mod.rs:209-272).
-        idx = np.argsort(np.abs(raw - e), kind="stable")[:6]
-        return float(_BIAS[self.p][idx].mean())
+        bias = _BIAS[self.p]
+        n = raw.size
+        # Rust slice::binary_search_by: midpoint halving, early Ok(mid)
+        left, right = 0, n
+        hit = -1
+        while left < right:
+            mid = (left + right) >> 1
+            v = raw[mid]
+            if v < e:
+                left = mid + 1
+            elif v > e:
+                right = mid
+            else:
+                hit = mid
+                break
+        if hit >= 0:
+            il, ir = hit, hit
+        elif left == 0:
+            il, ir = -1, 0
+        elif left == n:
+            il, ir = n - 1, -1
+        else:
+            il, ir = left - 1, left
+        total = 0.0
+        for _ in range(6):
+            if il >= 0 and ir >= 0:
+                # ties (equal deltas) prefer the LEFT index
+                if abs(raw[ir] - e) < abs(raw[il] - e):
+                    pick, go_right = ir, True
+                else:
+                    pick, go_right = il, False
+            elif il >= 0:
+                pick, go_right = il, False
+            else:
+                pick, go_right = ir, True
+            total += float(bias[pick])
+            if go_right:
+                ir = pick + 1 if pick < n - 1 else -1
+            else:
+                il = pick - 1 if pick > 0 else -1
+        return total / 6.0
 
     def count(self) -> int:
         m = float(self.m)
