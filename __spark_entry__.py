@@ -93,8 +93,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a low-partition scan out to the session's parallelism before
+    expensive per-row expressions. The test-data documents table is ONE
+    parquet file with ONE row group, so every word/shingle expression
+    would otherwise run on a single core; the repartition shuffles only
+    the tiny raw table once. At production scale the input arrives in
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(min(target, 16))
+    return df
+
+
 def _words(docs: DataFrame) -> DataFrame:
-    return docs.withColumn("words", F.split("text", " "))
+    return _spread(docs).withColumn("words", F.split("text", " "))
 
 
 # ---------------------------------------------------------------------------
@@ -714,6 +727,70 @@ def q_salted_skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming == batch (driver-checked): the events table
+    replayed as 4 file micro-batches through foreachBatch (idempotent
+    batch-id-partitioned state store, sketchlib.streaming) must merge
+    to byte-identical HLL states vs the one-shot batch build — merges
+    are associative+commutative, so batch boundaries are invisible.
+    Output: exact distinct users (oracle-checkable), a boolean that the
+    streamed and batch state BYTES match, and the published-bound check
+    on the streamed estimate."""
+    import shutil
+    import tempfile
+
+    from sketchlib.streaming import current_states, sketch_stream_writer
+
+    ev = _t(spark, sf_dir, "events")
+    specs = [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})]
+    root = tempfile.mkdtemp(prefix="sketchlib_stream_q_")
+    try:
+        src = os.path.join(root, "src")
+        ev.repartition(4).write.parquet(src)
+        batch_df = spark.read.parquet(src)
+        stream_df = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sketch_stream_writer(
+                stream_df,
+                ["event_type"],
+                specs,
+                os.path.join(root, "state"),
+                os.path.join(root, "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        streamed = {
+            r["event_type"]: bytes(r["state"])
+            for r in current_states(spark, os.path.join(root, "state"), ["event_type"], fanout=4)
+            .collect()
+        }
+        batched = {
+            r["event_type"]: bytes(r["state"])
+            for r in sketch_aggregate(batch_df, ["event_type"], specs, fanout=4).collect()
+        }
+        exact = {
+            r[0]: int(r[1])
+            for r in ev.groupBy("event_type").agg(F.countDistinct("user_id")).collect()
+        }
+        rows = []
+        for et in sorted(exact):
+            est = HLL.from_bytes(streamed[et]).count() if et in streamed else -1
+            ok = abs(est - exact[et]) <= max(HLL_SLACK * exact[et], 3.0)
+            rows.append((et, exact[et], streamed.get(et) == batched.get(et), bool(ok)))
+        return spark.createDataFrame(
+            rows,
+            "event_type string, distinct_users long, stream_matches_batch boolean, hll_ok boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
     "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
@@ -740,6 +817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cuckoo_filter_ops": q_cuckoo_filter_ops,
     "quotient_filter_ops": q_quotient_filter_ops,
     "salted_skew_distinct_users": q_salted_skew_distinct_users,
+    "streaming_state_equivalence": q_streaming_state_equivalence,
 }
 
 
@@ -986,6 +1064,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS distinct_users,
                    COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type
+        """,
+        "streaming_state_equivalence": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   TRUE AS stream_matches_batch,
+                   TRUE AS hll_ok
             FROM events
             GROUP BY event_type
         """,

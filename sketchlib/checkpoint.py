@@ -56,15 +56,16 @@ def build_partials_checkpointed(
     """
     spark = df.sparkSession
     done = _existing_parts(spark, ckpt_path, fingerprint)
-    n_parts = df.rdd.getNumPartitions()
-    todo = [p for p in range(n_parts) if p not in done]
-    if todo:
-        fresh = (
-            build_partials(df, group_cols, specs, skip_parts=done or None)
-            .withColumn("fingerprint", F.lit(fingerprint))
-            .withColumn("updated_at", F.current_timestamp())
-        )
-        fresh.write.mode("append").parquet(ckpt_path)
+    # No df.rdd.getNumPartitions() probe (it converts the whole plan to
+    # an RDD): stage 1 always runs with the done-set skipped — a task
+    # whose partition is already checkpointed returns before pulling any
+    # input batch, so a fully-resumed run costs one empty scan job.
+    fresh = (
+        build_partials(df, group_cols, specs, skip_parts=done or None)
+        .withColumn("fingerprint", F.lit(fingerprint))
+        .withColumn("updated_at", F.current_timestamp())
+    )
+    fresh.write.mode("append").parquet(ckpt_path)
     # note: a partition whose rows all fall outside every group emits no
     # partial row and so is indistinguishable from "not yet run" — it gets
     # re-scanned on the next resume, which is idempotent (emits nothing

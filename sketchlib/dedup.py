@@ -239,6 +239,8 @@ def simhash_neardup_pairs(
         raise ValueError(f"bands ({bands}) must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
+    from pyspark import StorageLevel
+
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(words_col).alias("__w")).filter(
         F.size("__w") > 0
     )
@@ -248,7 +250,11 @@ def simhash_neardup_pairs(
     rep_docs = docs.join(
         members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     )
-    sig = simhash_signatures(rep_docs, "doc_id", "__w", seed)
+    # the 64-pass bit-vote signature feeds the self-join (2 sides) and
+    # the cap's count — persist to avoid recomputation per consumer
+    sig = simhash_signatures(rep_docs, "doc_id", "__w", seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     parts = sig.select(
         "doc_id",
         "sig",
@@ -313,6 +319,8 @@ def minhash_neardup_pairs(
     LSH ``1 - (1 - J^r)^b`` at rep level (r=2, b=32 here ⇒ >0.9999 at
     J=0.5).
     """
+    from pyspark import StorageLevel
+
     shingles = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(
@@ -321,6 +329,13 @@ def minhash_neardup_pairs(
             )
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
+    # the shingle arrays feed four consumers (fingerprints, reps, band
+    # signatures, exact verify) through layered joins — without a
+    # persist Catalyst re-derives this most-expensive expression chain
+    # once per consumer per action (measured 20x+ recompute). Spills to
+    # disk if it outgrows memory; at full scale you would write this
+    # stage out explicitly instead.
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     fps = shingles.select("doc_id", F.xxhash64("sh").alias("fp"))
     reps = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     members = fps.join(reps, "fp").select("doc_id", "fp", "rep")
@@ -339,7 +354,7 @@ def minhash_neardup_pairs(
         ),
     )
     exploded = bandkeys.select("doc_id", F.posexplode("band_keys").alias("band", "key"))
-    exploded = _cap_bucket_keys(exploded, bucket_cap)
+    exploded = _cap_bucket_keys(exploded, bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
     a = exploded.alias("a")
     b = exploded.alias("b")
     cands = (
