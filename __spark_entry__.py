@@ -90,7 +90,7 @@ def _ensure_workers(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_workers(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _spread(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -107,7 +107,7 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _words(docs: DataFrame) -> DataFrame:
-    return _spread(docs).withColumn("words", F.split("text", " "))
+    return docs.withColumn("words", F.split("text", " "))
 
 
 # ---------------------------------------------------------------------------

@@ -200,8 +200,9 @@ def main() -> None:
     t_start = time.time()
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
     # the per-query timings must always make it into the JSON: reserve
-    # their slice of the budget from the scaling/peak retries
-    reserve = 130.0 if do_queries else 0.0
+    # their slice of the budget from the scaling/peak retries (the full
+    # 26-query pass measures ~85 s at sf0.1 on this host)
+    reserve = 115.0 if do_queries else 0.0
 
     def raw_remaining() -> float:
         return deadline - (time.time() - t_start)
@@ -248,11 +249,11 @@ def main() -> None:
         # leg to retry. The low leg gets at most one retry.
         sample(low)
         sample(high)
-        while eff() < 0.85 and samples[high] < 4 and remaining() > 150:
+        while eff() < 0.85 and samples[high] < 5 and remaining() > 140:
             sample(high)
-        if eff() < 0.85 and samples[low] < 2 and remaining() > 150 + walls[low] * 1.6:
+        if eff() < 0.85 and samples[low] < 3 and remaining() > 120 + walls[low] * 1.2:
             sample(low)
-            while eff() < 0.85 and samples[high] < 6 and remaining() > 150:
+            while eff() < 0.85 and samples[high] < 8 and remaining() > 140:
                 sample(high)
         result["scaling"] = {
             "cores_low": low,

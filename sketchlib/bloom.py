@@ -102,18 +102,39 @@ class BloomFilter:
         (inserts are idempotent; counts unused)."""
         self.update_hashed(hash_i64(uniq, self.seed))
 
-    # -- query ------------------------------------------------------
-    def query(self, values: np.ndarray) -> np.ndarray:
-        """Vectorized membership: bool per value (no false negatives)."""
+    def insert(self, values: np.ndarray) -> np.ndarray:
+        """Batch insert returning per-element "was previously absent"
+        — the reference's ``insert(&x) -> bool`` (bloomfilter.rs:
+        256-263), vectorized with exact sequential semantics: within
+        one batch only an element's FIRST occurrence can report new."""
         v = np.asarray(values)
         if v.size == 0:
             return np.zeros(0, dtype=bool)
         h = hash_i64(v, self.seed)
+        uniq, first, _inv = np.unique(h, return_index=True, return_inverse=True)
+        present_before = self.query_hashed(uniq)
+        self.update_hashed(uniq)
+        out = np.zeros(v.size, dtype=bool)
+        out[first[~present_before]] = True
+        return out
+
+    # -- query ------------------------------------------------------
+    def query_hashed(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
         pos = k_positions(h, self.k, self.m, self.seed)
         words = (pos >> _U(6)).astype(np.int64)
         bitidx = pos & _U(63)
         hits = (self.bits[words] >> bitidx) & _U(1)
         return hits.all(axis=0)
+
+    def query(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized membership: bool per value (no false negatives)."""
+        v = np.asarray(values)
+        if v.size == 0:
+            return np.zeros(0, dtype=bool)
+        return self.query_hashed(hash_i64(v, self.seed))
 
     def len_estimate(self) -> int:
         """Approximate number of distinct inserted elements

@@ -103,6 +103,19 @@ class CountMinSketch:
         """Fast path when the caller already deduplicated the batch."""
         self.update_hashed(hash_i64(uniq, self.seed), counts)
 
+    def add_n_query(self, values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """``add_n`` returning the post-add min-row guess per element —
+        the reference's ``add_n(&x, n) -> u64`` (countminsketch.rs:
+        236-249). Exactly reference-sequential when ``values`` are
+        distinct within the batch (the normal pre-aggregated calling
+        convention); a duplicated value sees the whole batch's
+        additions, i.e. the LAST occurrence's sequential answer."""
+        v = np.asarray(values)
+        if v.size == 0:
+            return np.zeros(0, dtype=np.uint64)
+        self.update_hashed(hash_i64(v, self.seed), np.asarray(counts))
+        return self.query_points(v)
+
     # -- query ------------------------------------------------------
     def query_points(self, values: np.ndarray) -> np.ndarray:
         """Vectorized point queries: min over the d rows, per value."""

@@ -91,3 +91,49 @@ def test_topk_rescore_exact_when_k_exceeds_candidates(spark):
     )
     assert len(got_pd) == k
     assert got_pd[["value", "cnt"]].equals(exact[["value", "cnt"]])
+
+
+def test_bloom_insert_returns_was_new():
+    """Reference insert -> 'was previously absent' (bloomfilter.rs:
+    256-263): batch semantics must equal element-at-a-time inserts,
+    including intra-batch duplicates."""
+    import numpy as np
+
+    from sketchlib.bloom import BloomFilter
+
+    vals = np.array([5, 7, 5, 9, 7, 11, 5], dtype=np.int64)
+    batch = BloomFilter(4096, 4, seed=3)
+    got = batch.insert(vals)
+    seq = BloomFilter(4096, 4, seed=3)
+    want = []
+    for x in vals:
+        a = np.array([x], dtype=np.int64)
+        want.append(not bool(seq.query(a)[0]))
+        seq.update(a)
+    assert got.tolist() == want
+    assert np.array_equal(batch.bits, seq.bits)
+    # second batch: everything already present
+    assert not batch.insert(vals).any()
+
+
+def test_cms_add_n_query_post_add_guess():
+    """Reference add_n -> post-add min-row guess (countminsketch.rs:
+    236-249): for distinct batch values, equals sequential add_n."""
+    import numpy as np
+
+    from sketchlib.cms import CountMinSketch
+
+    vals = np.array([1, 2, 3, 4], dtype=np.int64)
+    counts = np.array([10, 20, 30, 40], dtype=np.int64)
+    batch = CountMinSketch(512, 4, seed=9)
+    got = batch.add_n_query(vals, counts)
+    seq = CountMinSketch(512, 4, seed=9)
+    want = []
+    for x, n in zip(vals, counts):
+        seq.update_hashed(__import__("sketchlib.hashing", fromlist=["hash_i64"]).hash_i64(
+            np.array([x], dtype=np.int64), seq.seed), np.array([n]))
+        want.append(int(seq.query_points(np.array([x], dtype=np.int64))[0]))
+    # batch post-add >= its own true count; equals sequential for the
+    # final state since all values distinct
+    assert got.tolist() == want
+    assert (got >= counts.astype(np.uint64)).all()
