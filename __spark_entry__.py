@@ -791,6 +791,70 @@ def q_streaming_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_rollup_merge_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup by merge-up (SURVEY.md §2.5): fold the
+    per-(source, lang) HLL states to per-source over KILOBYTE state
+    rows (agg.rollup_states) — never re-reading the raw data — and
+    require byte-identical states vs a direct per-source build
+    (register-max merges are idempotent and partition-invariant).
+    Output also carries the exact distinct count so the oracle hash
+    pins real values, not just booleans."""
+    from sketchlib.agg import rollup_states
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    spec = [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})]
+    fine = sketch_aggregate(docs, ["source", "lang"], spec, fanout=8)
+    rolled = {
+        r["source"]: bytes(r["state"])
+        for r in rollup_states(fine, ["source"]).collect()
+    }
+    direct = {
+        r["source"]: bytes(r["state"])
+        for r in sketch_aggregate(docs, ["source"], spec, fanout=8).collect()
+    }
+    exact = (
+        docs.select("source", F.explode("words").alias("w"))
+        .groupBy("source")
+        .agg(F.countDistinct("w").alias("distinct_words"))
+    )
+    match_rows = [
+        (s, rolled.get(s) == direct.get(s)) for s in sorted(direct)
+    ]
+    mdf = spark.createDataFrame(match_rows, "source string, rollup_matches_direct boolean")
+    return exact.join(F.broadcast(mdf), "source").select(
+        "source", "distinct_words", "rollup_matches_direct"
+    )
+
+
+def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-based constructor sizing, pinned to the reference's own
+    golden values: CMS with_point_query_properties(0.01, 0.1) -> w=272,
+    d=3 (countminsketch.rs:337-341); Bloom with_properties(1000, 0.1)
+    -> k=3, m=4792 (bloomfilter.rs:462-466); Cuckoo
+    with_properties_4(0.02, 10000) -> l=9, n_buckets=16384
+    (cuckoofilter.rs:310-335, the benches' config
+    benches/filters.rs:20-49); Quotient q=15,r=4 accepts (the benches'
+    config) and sizes 2^15 slots. The oracle hardcodes the reference
+    constants, so any sizing-formula regression flips a value."""
+    from sketchlib.cms import CountMinSketch
+    from sketchlib.cuckoo import CuckooFilter
+    from sketchlib.quotient import QuotientFilter
+
+    from sketchlib.bloom import BloomFilter
+
+    cms = CountMinSketch.with_point_query_properties(0.01, 0.1)
+    bloom = BloomFilter.with_properties(1000, 0.1)
+    ck = CuckooFilter.with_properties_4(0.02, 10000)
+    qf = QuotientFilter(15, 4)
+    rows = [
+        ("cms_eps0.01_delta0.1", int(cms.w), int(cms.d)),
+        ("bloom_n1000_p0.1", int(bloom.m), int(bloom.k)),
+        ("cuckoo4_p0.02_n10000", int(ck.n_buckets), int(ck.l_fingerprint)),
+        ("quotient_q15_r4", int(qf.size), int(qf.r)),
+    ]
+    return spark.createDataFrame(rows, "structure string, size_param long, hash_param long")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
     "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
@@ -818,6 +882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quotient_filter_ops": q_quotient_filter_ops,
     "salted_skew_distinct_users": q_salted_skew_distinct_users,
     "streaming_state_equivalence": q_streaming_state_equivalence,
+    "ctor_goldens": q_ctor_goldens,
+    "rollup_merge_up": q_rollup_merge_up,
 }
 
 
@@ -1074,6 +1140,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM events
             GROUP BY event_type
+        """,
+        "rollup_merge_up": """
+            SELECT source,
+                   COUNT(DISTINCT w) AS distinct_words,
+                   TRUE AS rollup_matches_direct
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY source
+        """,
+        "ctor_goldens": """
+            SELECT * FROM (VALUES
+                ('cms_eps0.01_delta0.1', CAST(272 AS BIGINT), CAST(3 AS BIGINT)),
+                ('bloom_n1000_p0.1', CAST(4792 AS BIGINT), CAST(3 AS BIGINT)),
+                ('cuckoo4_p0.02_n10000', CAST(16384 AS BIGINT), CAST(9 AS BIGINT)),
+                ('quotient_q15_r4', CAST(32768 AS BIGINT), CAST(4 AS BIGINT))
+            ) AS t(structure, size_param, hash_param)
         """,
         # simhash_neardup: intentionally no oracle (bit-vote signatures
         # are not SQL-expressible); banding-vs-full-scan equality and
