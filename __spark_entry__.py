@@ -826,6 +826,43 @@ def q_rollup_merge_up(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, driver-checked end-to-end on
+    the deterministic synthetic media table (sketchlib.media): 32-bin
+    byte-histogram features via zero-copy Arrow buffers must be
+    well-formed (32 bins, L1 sum 1) for every payload, and fixed-stride
+    frame sampling keeps exactly ceil(4096/512)/2 = 4 frames per
+    payload. Counts are closed-form, so the oracle recomputes them from
+    range() alone — no external data."""
+    from sketchlib.media import byte_histogram_features, frame_sample, synth_media_df
+
+    _ensure_workers(spark)
+    n, payload_bytes, frame_bytes, every_n = 300, 4096, 512, 2
+    m = synth_media_df(spark, n, payload_bytes=payload_bytes, partitions=4)
+    feats = byte_histogram_features(m)
+    fstats = feats.select(
+        "media_id",
+        "kind",
+        (
+            (F.size("features") == 32)
+            & (
+                F.abs(
+                    F.aggregate("features", F.lit(0.0), lambda a, b: a + b) - F.lit(1.0)
+                )
+                < 1e-3
+            )
+        ).alias("feat_ok"),
+    )
+    frames = frame_sample(m, frame_bytes=frame_bytes, every_n=every_n)
+    fcnt = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("kept"))
+    joined = fstats.join(fcnt, "media_id")
+    return joined.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("kept").alias("frames_kept"),
+        F.min("feat_ok").alias("features_ok"),
+    )
+
+
 def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-based constructor sizing, pinned to the reference's own
     golden values: CMS with_point_query_properties(0.01, 0.1) -> w=272,
@@ -884,6 +921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_state_equivalence": q_streaming_state_equivalence,
     "ctor_goldens": q_ctor_goldens,
     "rollup_merge_up": q_rollup_merge_up,
+    "media_pipeline": q_media_pipeline,
 }
 
 
@@ -1140,6 +1178,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM events
             GROUP BY event_type
+        """,
+        "media_pipeline": """
+            SELECT kind,
+                   COUNT(*) AS n_media,
+                   COUNT(*) * 4 AS frames_kept,
+                   TRUE AS features_ok
+            FROM (
+                SELECT CASE CAST(i % 3 AS INTEGER)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                       END AS kind
+                FROM range(300) t(i)
+            )
+            GROUP BY kind
         """,
         "rollup_merge_up": """
             SELECT source,
