@@ -863,6 +863,63 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer-Wilkerson-Aiken §4),
+    driver-checked via the algorithm's detection guarantee on a
+    deterministic synthetic chain: doc i holds globally-unique words
+    [10i, 10i+20), so consecutive docs share a 10-word run (>= the
+    w+k-1 = 6 guarantee threshold for k=3, w=4) and MUST share a
+    fingerprint, while docs two or more apart share no words and CANNOT
+    (64-bit xxhash64 k-gram space makes cross-gram collisions
+    negligible and the seed is fixed). The shared-fp pair set is
+    therefore exactly the n-1 adjacent pairs — closed-form oracle."""
+    from sketchlib.textops import winnow_fingerprints
+
+    _ensure_workers(spark)
+    n, length, stride = 200, 20, 10
+    docs = spark.range(0, n, numPartitions=4).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(length - 1)),
+            lambda j: F.concat(F.lit("w"), (F.col("id") * stride + j).cast("string")),
+        ).alias("words"),
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "words", k=3, window=4).persist()
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    return pairs.agg(
+        F.sum((F.col("db") - F.col("da") == 1).cast("long")).alias("adjacent_pairs"),
+        F.sum((F.col("db") - F.col("da") != 1).cast("long")).alias("nonadjacent_pairs"),
+    ).crossJoin(fps.select(F.countDistinct("doc_id").alias("docs_fingerprinted")))
+
+
+def q_lang_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (Cavnar-Trenkle), driver-checked by
+    construction: synth_lang_corpus gives each language a disjoint
+    5-letter alphabet, so profiles share no n-grams, every doc scores
+    cosine 0 against foreign profiles and > 0 against its own (a 5-letter
+    alphabet yields < 300 possible 3-grams, so the top-300 profile holds
+    ALL of them) — fit-then-classify is exactly 100% accurate and the
+    oracle is closed-form. Profile fitting is one distributed agg
+    (window top-N per lang before the collect; textops.py)."""
+    from sketchlib.textops import fit_language_profiles, lang_id_udf, synth_lang_corpus
+
+    _ensure_workers(spark)
+    n, langs = 300, 3
+    corpus = synth_lang_corpus(spark, n, langs=langs, partitions=4).persist()
+    profiles = fit_language_profiles(corpus, "text", "lang")
+    pred = corpus.withColumn("pred", lang_id_udf(spark, profiles)(F.col("text")))
+    return pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("pred") == F.col("lang")).cast("long")).alias("n_correct"),
+    )
+
+
 def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-based constructor sizing, pinned to the reference's own
     golden values: CMS with_point_query_properties(0.01, 0.1) -> w=272,
@@ -922,6 +979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ctor_goldens": q_ctor_goldens,
     "rollup_merge_up": q_rollup_merge_up,
     "media_pipeline": q_media_pipeline,
+    "winnow_guarantee": q_winnow_guarantee,
+    "lang_id_roundtrip": q_lang_id_roundtrip,
 }
 
 
@@ -1178,6 +1237,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM events
             GROUP BY event_type
+        """,
+        "winnow_guarantee": """
+            SELECT CAST(199 AS BIGINT) AS adjacent_pairs,
+                   CAST(0 AS BIGINT) AS nonadjacent_pairs,
+                   CAST(200 AS BIGINT) AS docs_fingerprinted
+        """,
+        "lang_id_roundtrip": """
+            SELECT 'lang' || CAST(i AS VARCHAR) AS lang,
+                   CAST(100 AS BIGINT) AS n_docs,
+                   CAST(100 AS BIGINT) AS n_correct
+            FROM range(3) t(i)
         """,
         "media_pipeline": """
             SELECT kind,

@@ -187,3 +187,55 @@ def winnow_fingerprints(
             )
 
     return hashed.mapInArrow(fn, out_schema)
+
+# ------------------------------------------------- synthetic corpora
+
+
+def synth_lang_corpus(spark, n: int, langs: int = 3, words_per_doc: int = 10,
+                      chars_per_word: int = 4, partitions: int | None = None) -> DataFrame:
+    """Deterministic labeled corpus for language-ID driver checks:
+    language ``l`` draws every character from its own disjoint 5-letter
+    alphabet (lang0 -> a..e, lang1 -> f..j, ...), so char-n-gram profiles
+    of different languages share NO n-grams and a fit-then-classify
+    round-trip is correct with certainty (closed-form oracle). Characters
+    derive from splitmix64 of (doc, position) — no external data."""
+    from .hashing import splitmix64
+
+    base = spark.range(0, n, numPartitions=partitions)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("lang", StringType(), False),
+            StructField("text", StringType(), False),
+        ]
+    )
+    chars_per_doc = words_per_doc * chars_per_word
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("doc_id" if "doc_id" in batch.schema.names else "id").to_numpy()
+            if ids.size == 0:
+                continue
+            with np.errstate(over="ignore"):
+                h = splitmix64(
+                    (ids[:, None].astype(np.uint64) * np.uint64(0x9E3779B1))
+                    + np.arange(chars_per_doc, dtype=np.uint64)[None, :]
+                )
+            lang_idx = (ids % langs).astype(np.int64)
+            # 5 letters per language, alphabets disjoint by construction
+            letters = (h % np.uint64(5)).astype(np.int64) + 5 * lang_idx[:, None]
+            codes = (letters + ord("a")).astype(np.uint8)
+            texts = []
+            for row in codes:
+                w = row.reshape(words_per_doc, chars_per_word)
+                texts.append(" ".join(bytes(word).decode("ascii") for word in w))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.array([f"lang{i}" for i in lang_idx]),
+                    pa.array(texts),
+                ],
+                names=["doc_id", "lang", "text"],
+            )
+
+    return base.mapInArrow(gen, schema)
