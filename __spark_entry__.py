@@ -928,23 +928,40 @@ def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_properties_4(0.02, 10000) -> l=9, n_buckets=16384
     (cuckoofilter.rs:310-335, the benches' config
     benches/filters.rs:20-49); Quotient q=15,r=4 accepts (the benches'
-    config) and sizes 2^15 slots. The oracle hardcodes the reference
-    constants, so any sizing-formula regression flips a value."""
+    config) and sizes 2^15 slots; HLL accessors m = 2^b = 16384 at b=14
+    plus the clear()/is_empty() lifecycle (hyperloglog/mod.rs:154-200).
+    The oracle hardcodes the reference constants, so any sizing-formula
+    or accessor regression flips a value."""
     from sketchlib.cms import CountMinSketch
     from sketchlib.cuckoo import CuckooFilter
     from sketchlib.quotient import QuotientFilter
 
     from sketchlib.bloom import BloomFilter
 
+    import numpy as np
+
     cms = CountMinSketch.with_point_query_properties(0.01, 0.1)
     bloom = BloomFilter.with_properties(1000, 0.1)
     ck = CuckooFilter.with_properties_4(0.02, 10000)
     qf = QuotientFilter(15, 4)
+    # HLL accessor/lifecycle goldens (hyperloglog/mod.rs b()/m()/
+    # is_empty()/clear()): m = 2^b, and clear() returns the filter to
+    # is_empty() while an add makes it non-empty again
+    hll = HLL(14, seed=SEED)
+    hll.update(np.arange(100, dtype=np.int64))
+    nonempty_after_add = not hll.is_empty()
+    hll.clear()
     rows = [
         ("cms_eps0.01_delta0.1", int(cms.w), int(cms.d)),
         ("bloom_n1000_p0.1", int(bloom.m), int(bloom.k)),
         ("cuckoo4_p0.02_n10000", int(ck.n_buckets), int(ck.l_fingerprint)),
         ("quotient_q15_r4", int(qf.size), int(qf.r)),
+        ("hll_p14_accessors", int(hll.m), int(hll.p)),
+        (
+            "hll_clear_lifecycle",
+            int(nonempty_after_add),
+            int(hll.is_empty()),
+        ),
     ]
     return spark.createDataFrame(rows, "structure string, size_param long, hash_param long")
 
@@ -1274,7 +1291,9 @@ def oracle_sql() -> dict[str, str]:
                 ('cms_eps0.01_delta0.1', CAST(272 AS BIGINT), CAST(3 AS BIGINT)),
                 ('bloom_n1000_p0.1', CAST(4792 AS BIGINT), CAST(3 AS BIGINT)),
                 ('cuckoo4_p0.02_n10000', CAST(16384 AS BIGINT), CAST(9 AS BIGINT)),
-                ('quotient_q15_r4', CAST(32768 AS BIGINT), CAST(4 AS BIGINT))
+                ('quotient_q15_r4', CAST(32768 AS BIGINT), CAST(4 AS BIGINT)),
+                ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
+                ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
         """,
         # simhash_neardup: intentionally no oracle (bit-vote signatures
