@@ -920,6 +920,126 @@ def q_lang_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed sketches as a stateful streaming operator
+    (streaming.windowed_sketch_stream: applyInPandasWithState +
+    watermark-driven finalization). The events table streams through
+    7-day tumbling windows per event_type; two far-future sentinel
+    micro-batches push the watermark past every real window, so each
+    finalizes exactly once. Emitted per (window, type): the EXACT
+    distinct-user count and row count (recomputed batch-side — the
+    oracle recomputes both in SQL with the same epoch-aligned windows)
+    plus a boolean that the finalized HLL state's estimate is within
+    its published 4-sigma bound, and that the streamed n_updates
+    equals the exact row count."""
+    import datetime as _dt
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    from sketchlib.estimates import hll_count
+    from sketchlib.hll import HLL
+    from sketchlib.streaming import windowed_sketch_stream
+
+    _ensure_workers(spark)
+    week = 7 * 24 * 3600
+    src = _tempfile.mkdtemp(prefix="winstream_src_")
+    ckpt = _tempfile.mkdtemp(prefix="winstream_ckpt_")
+    evp = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(evp, "*.parquet")))
+        if os.path.isdir(evp)
+        else [evp]
+    )
+    for i, f in enumerate(files):
+        _shutil.copy(f, os.path.join(src, f"b{i:03d}.parquet"))
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for j, days in enumerate((40, 80)):
+        _pq.write_table(
+            _pa.table(
+                {
+                    "ts": _pa.array(
+                        [max_ts + _dt.timedelta(days=days)], type=_pa.timestamp("us")
+                    ),
+                    "user_id": _pa.array([-1], type=_pa.int64()),
+                    "event_type": _pa.array(["__sentinel__"]),
+                }
+            ),
+            os.path.join(src, f"zz{j}.parquet"),
+        )
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    out = windowed_sketch_stream(
+        stream,
+        "ts",
+        ["event_type"],
+        [SketchSpec("hll", "hll", "user_id", {"p": 13, "seed": SEED})],
+        window_duration="7 days",
+        watermark_delay="1 day",
+    )
+    sink = f"winsink_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    states = (
+        spark.sql(f"select * from {sink}")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.unix_timestamp("window_start").alias("win_start"),
+            "event_type",
+            "state",
+            "n_updates",
+        )
+    )
+    exact = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / week) * week).cast("long").alias("win_start"),
+        "event_type",
+    ).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bound = 4.0 * HLL(13).relative_error()
+    est = hll_count(F.col("state")).alias("est")
+    joined = states.join(exact, ["win_start", "event_type"]).select(
+        "win_start",
+        "event_type",
+        "exact_users",
+        "n_events",
+        est,
+        "n_updates",
+    )
+    return joined.select(
+        "win_start",
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            (F.abs(F.col("est") - F.col("exact_users")) <= bound * F.col("exact_users"))
+            & (F.col("n_updates") == F.col("n_events"))
+        ).alias("stream_ok"),
+    )
+
+
 def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-based constructor sizing, pinned to the reference's own
     golden values: CMS with_point_query_properties(0.01, 0.1) -> w=272,
@@ -994,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_skew_distinct_users": q_salted_skew_distinct_users,
     "streaming_state_equivalence": q_streaming_state_equivalence,
     "ctor_goldens": q_ctor_goldens,
+    "windowed_stream_watermark": q_windowed_stream_watermark,
     "rollup_merge_up": q_rollup_merge_up,
     "media_pipeline": q_media_pipeline,
     "winnow_guarantee": q_winnow_guarantee,
@@ -1254,6 +1375,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM events
             GROUP BY event_type
+        """,
+        "windowed_stream_watermark": """
+            SELECT CAST(FLOOR(EPOCH(ts) / 604800) * 604800 AS BIGINT) AS win_start,
+                   event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   COUNT(*) AS n_events,
+                   TRUE AS stream_ok
+            FROM events
+            GROUP BY 1, 2
         """,
         "winnow_guarantee": """
             SELECT CAST(199 AS BIGINT) AS adjacent_pairs,

@@ -86,3 +86,140 @@ def compact(
     out.withColumn(_BATCH_COL, F.lit(-1)).write.mode("overwrite").partitionBy(
         _BATCH_COL
     ).parquet(compact_path)
+
+
+# ---------------------------------------------------------------------------
+# event-time windowed sketches (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def windowed_sketch_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    window_duration: str = "1 minute",
+    watermark_delay: str = "30 seconds",
+):
+    """Tumbling event-time windows of sketch states as a custom stateful
+    streaming operator (``applyInPandasWithState`` + event-time timeout).
+
+    Each (window, group) key accumulates one kernel per spec in the
+    Spark state store (serialized KB-scale blobs — same codec as the
+    batch path); when the watermark passes ``window_end +
+    watermark_delay`` the state times out and the FINAL merged states
+    are appended downstream, exactly once per window. Late rows beyond
+    the watermark cannot resurrect an emitted window: the function
+    drops data for already-expired windows explicitly, so the append
+    contract holds even if the engine delivers stragglers.
+
+    This is the streaming dual of :func:`sketchlib.agg.build_partials`
+    + merge: kernels are associative/commutative (reference
+    merge-equivalence contract), so per-micro-batch accumulation order
+    never changes the finalized state for order-insensitive kernels
+    (HLL/CMS/Bloom/KLL).
+
+    Output rows: ``window_start, window_end, group_cols..., sketch,
+    state, n_updates`` — readable by the same estimate UDFs as batch
+    states.
+    """
+    import pickle
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from .agg import _NUMERIC_KINDS, _resolve_specs, load_state
+    from .hashing import unique_counts
+
+    hashed, rspecs = _resolve_specs(stream_df, specs)
+    delay_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
+    win = F.window(F.col(ts_col), window_duration)
+    keyed = (
+        hashed.withWatermark(ts_col, watermark_delay)
+        .withColumn("window_start", win.start)
+        .withColumn("window_end", win.end)
+    )
+    gcols = ["window_start", "window_end", *group_cols]
+    out_fields = [
+        StructField("window_start", TimestampType(), False),
+        StructField("window_end", TimestampType(), False),
+        *[keyed.schema[c] for c in group_cols],
+        StructField("sketch", StringType(), False),
+        StructField("state", BinaryType(), False),
+        StructField("n_updates", LongType(), False),
+    ]
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    specs_payload = [(s.name, s.kind, s.col, dict(s.params), s.weight_col) for s in rspecs]
+
+    def fn(key, pdfs, state: GroupState):
+        from .agg import KERNELS
+
+        win_end_ms = int(pd.Timestamp(key[1]).value // 1_000_000)
+        expiry_ms = win_end_ms + delay_ms
+        if state.hasTimedOut:
+            (pkl,) = state.get
+            kernels = pickle.loads(bytes(pkl))
+            state.remove()
+            rows = {
+                "window_start": [key[0]] * len(specs_payload),
+                "window_end": [key[1]] * len(specs_payload),
+            }
+            for i, c in enumerate(group_cols):
+                rows[c] = [key[2 + i]] * len(specs_payload)
+            rows["sketch"] = [name for name, *_ in specs_payload]
+            rows["state"] = [kernels[name][0] for name, *_ in specs_payload]
+            rows["n_updates"] = [kernels[name][1] for name, *_ in specs_payload]
+            yield pd.DataFrame(rows)
+            return
+        # a straggler for an already-finalized window: drop, never re-emit
+        if state.getCurrentWatermarkMs() >= expiry_ms:
+            return
+        kernels = (
+            pickle.loads(bytes(state.get[0])) if state.exists else
+            {name: (KERNELS[kind](**params).to_bytes(), 0)
+             for name, kind, _, params, _ in specs_payload}
+        )
+        live = {name: load_state(blob) for name, (blob, _) in kernels.items()}
+        counts = {name: n for name, (_, n) in kernels.items()}
+        for pdf in pdfs:
+            for name, kind, col, params, wcol in specs_payload:
+                vals = pdf[col].dropna()
+                if not len(vals):
+                    continue
+                k = live[name]
+                if kind in _NUMERIC_KINDS:
+                    if kind == "tdigest" and wcol is not None:
+                        aligned = pdf[[col, wcol]].dropna()
+                        k.update(
+                            aligned[col].to_numpy(dtype="float64"),
+                            aligned[wcol].to_numpy(dtype="float64"),
+                        )
+                        counts[name] += len(aligned)
+                    else:
+                        k.update(vals.to_numpy(dtype="float64"))
+                        counts[name] += len(vals)
+                else:
+                    v = vals.to_numpy(dtype="int64")
+                    if kind == "lossy":
+                        k.update(v)
+                    else:
+                        k.update_unique(*unique_counts(v))
+                    counts[name] += len(vals)
+        state.update((pickle.dumps(
+            {name: (live[name].to_bytes(), counts[name]) for name in live}
+        ),))
+        state.setTimeoutTimestamp(max(expiry_ms, state.getCurrentWatermarkMs() + 1))
+
+    return keyed.groupBy(*gcols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
