@@ -15,6 +15,13 @@ Three operators (training-data-pipeline requirement):
 - :func:`cosine_neardup_pairs` — exact near-duplicate pairs
   (cos >= threshold, a < b); :func:`srp_neardup_pairs` is the
   LSH-bucketed variant with exact verify.
+- :func:`ivf_topk` — IVF (inverted-file) ANN: spherical k-means coarse
+  quantizer trained on a bounded hash-sample, corpus assigned to one
+  inverted list each (an int per vector — vectors never shuffle for
+  candidate generation), queries probe their nprobe nearest lists,
+  candidates exactly re-scored. The complementary scale path to SRP:
+  data-adaptive partitioning wins on clustered corpora, LSH on
+  adversarially uniform ones.
 
 Randomness: projection matrices come from ``np.random.default_rng(seed)``
 (PCG64 — reproducible across processes/platforms), so signatures are
@@ -27,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 DEFAULT_SEED = 0x5EEDC0DE
 
@@ -252,4 +259,142 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
         .join(b, "id_b")
         .filter(cosine_col(F.col("ea"), F.col("eb")) >= threshold)
         .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    sample_cap: int = 65536,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    hash-sample of at most ``sample_cap`` vectors (the standard IVF
+    recipe: centroids need a representative sample, not the corpus —
+    the only full-corpus pass is the cheap assignment matmul). Returns
+    L2-normalized (n_lists, dim) float64 centroids, reproducible per
+    seed."""
+    n = emb.count()
+    stride = max(1, n // sample_cap)
+    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v")).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+    mat = np.array(sample.toPandas()["v"].tolist(), dtype=np.float64)
+    if mat.shape[0] < n_lists:
+        raise ValueError(f"sample too small ({mat.shape[0]}) for n_lists={n_lists}")
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(mat.shape[0], size=n_lists, replace=False)]
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # dead list: reseed from the worst-served vector
+                cents[c] = mat[sims.max(axis=1).argmin()]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, lst) rows: each vector's ``nprobe`` nearest coarse lists
+    (one matmul against the broadcast centroid matrix per Arrow batch).
+    Corpus side uses nprobe=1; query side probes several."""
+    n_lists, dim = centroids.shape
+    nprobe = min(nprobe, n_lists)
+    id_type = df.schema[id_col].dataType
+    narrow = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    out_schema = StructType(
+        [StructField("vid", id_type, False), StructField("lst", IntegerType(), False)]
+    )
+    ct = centroids.T.copy()
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column("v").flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, dim)
+            sims = mat @ ct
+            if nprobe == 1:
+                lists = sims.argmax(axis=1)[:, None]
+            else:
+                lists = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+            ids = np.repeat(np.asarray(batch.column("vid")), nprobe)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(lists.reshape(-1).astype(np.int32))],
+                names=["vid", "lst"],
+            )
+
+    return narrow.mapInArrow(fn, out_schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "query_id",
+    q_vec: str = "qe",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_lists`` inverted lists (one int per vector — the embeddings
+    never shuffle for candidate generation), probe each query's
+    ``nprobe`` nearest lists, exactly re-score the candidates, keep
+    top-k. Precision 1.0; recall grows with nprobe (nprobe == n_lists
+    degenerates to exact brute force). Same candidate-join topology as
+    :func:`srp_topk` — (vid, lst) int rows shuffle, vectors join once
+    by id for the rescore."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, dim, n_lists, id_col, vec_col, seed)
+    corpus = ivf_assign(emb, centroids, 1, id_col, vec_col)
+    qdf = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    probes = ivf_assign(qdf, centroids, nprobe, "query_id", "qv").withColumnRenamed(
+        "vid", "query_id"
+    )
+    cands = (
+        probes.join(corpus, "lst")
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .distinct()
+    )
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    q = qdf.select("query_id", F.col("qv").cast("array<double>").alias("qe"))
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .withColumn("sim", cosine_col(F.col("qe"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
     )

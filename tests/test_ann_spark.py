@@ -51,3 +51,39 @@ def test_neardup_lsh_matches_exact(spark, emb):
     assert lsh <= exact  # exact verify ⇒ no false positives
     assert len(exact) > 50  # clusters exist
     assert len(exact - lsh) <= len(exact) * 0.05  # high recall
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from sketchlib.ann import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = cosine_topk(emb, q, k=10)
+    approx = ivf_topk(emb, q, k=10, dim=DIM, n_lists=8, nprobe=3, seed=1)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    from sketchlib.ann import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = cosine_topk(emb, q, k=7)
+    full = ivf_topk(emb, q, k=7, dim=DIM, n_lists=6, nprobe=6, seed=1)
+    ex = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
+    fu = {(r.query_id, r.rank, r.neighbor_id) for r in full.collect()}
+    assert ex == fu  # probing every list degenerates to brute force
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    from sketchlib.ann import ivf_centroids
+
+    c1 = ivf_centroids(emb, DIM, n_lists=8, seed=3)
+    c2 = ivf_centroids(emb, DIM, n_lists=8, seed=3)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
