@@ -895,6 +895,56 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, driver-checked via its deterministic
+    guarantees on a planted corpus: 40 clusters of 3 byte-identical
+    docs (identical word arrays => identical fingerprint => identical
+    signature; the rep-collapse + expansion emits every intra-cluster
+    pair EXACTLY) plus 80 singleton docs with disjoint vocabularies
+    (their 64-bit bit-vote signatures are effectively independent:
+    P[hamming <= 6] ~ 5e-12 per pair and an 8-bit band must match
+    exactly to even become a candidate, so zero cross pairs survive —
+    deterministic under the fixed seed). Output therefore equals the
+    closed form: 40 * C(3,2) = 120 intra pairs, 0 cross."""
+    from sketchlib.dedup import simhash_neardup_pairs
+
+    _ensure_workers(spark)
+    n_clusters, csize, n_unique, wlen = 40, 3, 80, 12
+    jseq = F.sequence(F.lit(0), F.lit(wlen - 1))
+    clustered = spark.range(n_clusters * csize, numPartitions=4).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            jseq,
+            lambda j: F.concat(
+                F.lit("c"),
+                F.floor(F.col("id") / csize).cast("string"),
+                F.lit("w"),
+                j.cast("string"),
+            ),
+        ).alias("words"),
+    )
+    singles = spark.range(n_unique, numPartitions=4).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.transform(
+            jseq,
+            lambda j: F.concat(
+                F.lit("u"), F.col("id").cast("string"), F.lit("w"), j.cast("string")
+            ),
+        ).alias("words"),
+    )
+    docs = clustered.unionByName(singles)
+    pairs = simhash_neardup_pairs(docs, "doc_id", "words", max_hamming=6, bands=8)
+    intra = (
+        (F.col("doc_a") < n_clusters * csize)
+        & (F.col("doc_b") < n_clusters * csize)
+        & (F.floor(F.col("doc_a") / csize) == F.floor(F.col("doc_b") / csize))
+    )
+    return pairs.agg(
+        F.sum(intra.cast("long")).alias("intra_pairs"),
+        F.sum((~intra).cast("long")).alias("cross_pairs"),
+    )
+
+
 def q_winnow_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (Schleimer-Wilkerson-Aiken §4),
     driver-checked via the algorithm's detection guarantee on a
@@ -1151,6 +1201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_merge_up": q_rollup_merge_up,
     "media_pipeline": q_media_pipeline,
     "winnow_guarantee": q_winnow_guarantee,
+    "simhash_guarantee": q_simhash_guarantee,
     "lang_id_roundtrip": q_lang_id_roundtrip,
 }
 
@@ -1420,6 +1471,10 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS stream_ok
             FROM events
             GROUP BY 1, 2
+        """,
+        "simhash_guarantee": """
+            SELECT CAST(40 * 3 AS BIGINT) AS intra_pairs,
+                   CAST(0 AS BIGINT) AS cross_pairs
         """,
         "winnow_guarantee": """
             SELECT CAST(199 AS BIGINT) AS adjacent_pairs,
