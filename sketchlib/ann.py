@@ -237,7 +237,15 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
     above ``bucket_cap`` members are dropped (hot-bucket guard: a
     degenerate key would make the self-join O(bucket²)); recall loss is
     confined to those keys and auditable by counting per-key rows."""
-    sig = _bucketed(srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed))
+    from pyspark import StorageLevel
+
+    # three consumers (hot-bucket count, both self-join sides) would
+    # each re-derive the signature matmul chain per action — persist the
+    # tiny (vid, key) rows instead (same recompute trap measured 35x on
+    # the minhash path, sketchlib/dedup.py)
+    sig = _bucketed(srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if bucket_cap is not None:
         hot = (
             sig.groupBy("key")
