@@ -100,9 +100,15 @@ def windowed_sketch_stream(
     specs: list[SketchSpec],
     window_duration: str = "1 minute",
     watermark_delay: str = "30 seconds",
+    slide_duration: str | None = None,
 ):
-    """Tumbling event-time windows of sketch states as a custom stateful
-    streaming operator (``applyInPandasWithState`` + event-time timeout).
+    """Tumbling (or, with ``slide_duration``, sliding) event-time
+    windows of sketch states as a custom stateful streaming operator
+    (``applyInPandasWithState`` + event-time timeout). For sliding
+    windows Spark's TimeWindowing rule expands each row into every
+    containing window before the stateful groupBy, so a row updates
+    duration/slide kernels — state stays one blob per OPEN (window,
+    group) key either way.
 
     Each (window, group) key accumulates one kernel per spec in the
     Spark state store (serialized KB-scale blobs — same codec as the
@@ -142,11 +148,17 @@ def windowed_sketch_stream(
 
     hashed, rspecs = _resolve_specs(stream_df, specs)
     delay_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
-    win = F.window(F.col(ts_col), window_duration)
+    win = F.window(F.col(ts_col), window_duration, slide_duration or window_duration)
+    # materialize the window struct ONCE: referencing win.start and
+    # win.end as two separate expressions makes TimeWindowing expand
+    # each independently — a start x end cross product for sliding
+    # windows (invalid (start_i, end_j) combos included)
     keyed = (
         hashed.withWatermark(ts_col, watermark_delay)
-        .withColumn("window_start", win.start)
-        .withColumn("window_end", win.end)
+        .withColumn("__w", win)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
     )
     gcols = ["window_start", "window_end", *group_cols]
     out_fields = [

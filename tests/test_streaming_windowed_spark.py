@@ -134,3 +134,57 @@ def test_straggler_dropped(windowed_rows):
     assert len(w0) == 1
     hll = load_state(bytes(w0[0]["state"]))
     assert round(hll.count()) == 3  # user 99 (late) not absorbed
+
+
+def test_sliding_windows(spark, tmp_path_factory):
+    """60s windows sliding by 30s: every row lands in exactly two
+    windows; finalized counts match per-window exact distincts."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from sketchlib.streaming import windowed_sketch_stream
+
+    src = str(tmp_path_factory.mktemp("slide_src"))
+    ckpt = str(tmp_path_factory.mktemp("slide_ckpt"))
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("user_id", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = windowed_sketch_stream(
+        stream,
+        "ts",
+        [],
+        [SketchSpec("hll", "hll", "user_id", {"p": 12})],
+        window_duration="1 minute",
+        watermark_delay="10 seconds",
+        slide_duration="30 seconds",
+    )
+    # rows at t=40 (windows [-20,40+20) -> starts 0 and 30... i.e.
+    # [0,60) and [30,90)) and t=70 ([30,90) and [60,120))
+    _write_batch(src, 1, [(40, 1), (41, 2), (70, 3)])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, 2, [(400, 9)])
+        q.processAllAvailable()
+        _write_batch(src, 3, [(430, 9)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from slide_sink").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"] - EPOCH).total_seconds(): (
+            round(load_state(bytes(r["state"])).count()),
+            r["n_updates"],
+        )
+        for r in rows
+        if (r["window_start"] - EPOCH).total_seconds() < 300
+    }
+    assert got == {0.0: (2, 2), 30.0: (3, 3), 60.0: (1, 1)}
