@@ -215,20 +215,12 @@ def q_bloom_semijoin_building(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's stated Bloom application, bloomfilter.rs:49-53). Zero
     false negatives is the correctness property under test: a missing
     row fails the value-hash."""
+    from sketchlib.joins import bloom_semijoin
+
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
-    merged = sketch_aggregate(
-        cust,
-        [],
-        [SketchSpec("bloom", "bloom", "c_custkey", {"m": 1 << 20, "k": 7, "seed": SEED})],
-        fanout=8,
-    )
-    blob = bytes(merged.select("state").collect()[0][0])
-    member = membership_udf(spark, {"all": blob})
-    prefiltered = orders.filter(member(F.lit("all"), F.col("o_custkey")))
-    keys = cust.select("c_custkey").distinct()
-    return prefiltered.join(
-        F.broadcast(keys), prefiltered.o_custkey == keys.c_custkey, "leftsemi"
+    return bloom_semijoin(
+        orders, "o_custkey", cust, "c_custkey", m=1 << 20, k=7, seed=SEED
     ).select("o_orderkey", "o_custkey")
 
 

@@ -197,3 +197,35 @@ def collect_states(merged, group_cols: list[str], sketch_name: str) -> dict:
     if len(group_cols) == 1:
         return {r[0]: bytes(r[1]) for r in rows}
     return {tuple(r[:-1]): bytes(r[-1]) for r in rows}
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the state-reading estimators to ``spark.sql`` so merged
+    sketch tables are queryable from plain SQL::
+
+        spark.sql("SELECT source, hll_count(state) FROM states "
+                  "WHERE sketch = 'hll'")
+
+    Registered: hll_count, bloom_len, cms_total, reservoir_seen,
+    reservoir_size, tdigest_quantile(state, q), tdigest_cdf(state, x).
+    """
+    spark.udf.register("hll_count", hll_count)
+    spark.udf.register("bloom_len", bloom_len)
+    spark.udf.register("cms_total", cms_total)
+    spark.udf.register("reservoir_seen", reservoir_seen)
+    spark.udf.register("reservoir_size", reservoir_size)
+
+    @F.pandas_udf(DoubleType())
+    def _tdigest_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(load_state(b).quantile(float(qq))) for b, qq in zip(state, q)]
+        )
+
+    @F.pandas_udf(DoubleType())
+    def _tdigest_cdf(state: pd.Series, x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(load_state(b).cdf(float(xx))) for b, xx in zip(state, x)]
+        )
+
+    spark.udf.register("tdigest_quantile", _tdigest_quantile)
+    spark.udf.register("tdigest_cdf", _tdigest_cdf)

@@ -1,0 +1,88 @@
+"""Bloom-accelerated joins: exact equivalence with plain semi/anti joins,
+and SQL-registered estimators."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sketchlib.joins import bloom_antijoin, bloom_semijoin  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    large = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("payload")
+    )
+    # small side: every 7th key, plus keys past the large range (no match)
+    small = spark.range(0, 6000, 7).select(F.col("id").alias("sk"))
+    return large.cache(), small.cache()
+
+
+def test_bloom_semijoin_exact(spark, sides):
+    large, small = sides
+    got = {r.k for r in bloom_semijoin(large, "k", small, "sk", m=1 << 16, k=5).collect()}
+    want = {r.k for r in large.join(
+        small.select(F.col("sk").alias("k")).distinct(), "k", "left_semi"
+    ).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_bloom_semijoin_prefilter_superset(spark, sides):
+    large, small = sides
+    pre = {r.k for r in bloom_semijoin(
+        large, "k", small, "sk", m=1 << 16, k=5, exact=False
+    ).collect()}
+    want = {r.k for r in large.join(
+        small.select(F.col("sk").alias("k")).distinct(), "k", "left_semi"
+    ).collect()}
+    assert want <= pre  # zero false negatives
+    assert len(pre) <= len(want) + 0.02 * 5000  # FPR bounded
+
+
+def test_bloom_antijoin_exact(spark, sides):
+    large, small = sides
+    got = {r.k for r in bloom_antijoin(large, "k", small, "sk", m=1 << 16, k=5).collect()}
+    want = {r.k for r in large.join(
+        small.select(F.col("sk").alias("k")).distinct(), "k", "left_anti"
+    ).collect()}
+    assert got == want
+
+
+def test_sql_registered_estimators(spark, seq_small):
+    from sketchlib.agg import SketchSpec, sketch_aggregate
+    from sketchlib.estimates import register_sql_functions
+
+    register_sql_functions(spark)
+    merged = sketch_aggregate(
+        seq_small,
+        ["source"],
+        [
+            SketchSpec("hll", "hll", "tokens", {"p": 14}),
+            SketchSpec("td", "tdigest", "n_tok", {"delta": 200.0}),
+        ],
+        fanout=8,
+    )
+    merged.createOrReplaceTempView("states_sql_test")
+    hll_rows = spark.sql(
+        "SELECT source, hll_count(state) AS est FROM states_sql_test WHERE sketch='hll'"
+    ).collect()
+    exact = {
+        r.source: r.d
+        for r in seq_small.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("d"))
+        .collect()
+    }
+    assert len(hll_rows) == len(exact)
+    for r in hll_rows:
+        assert abs(r.est - exact[r.source]) <= 0.05 * exact[r.source]
+    q = spark.sql(
+        "SELECT tdigest_quantile(state, 0.5) AS med FROM states_sql_test WHERE sketch='td'"
+    ).collect()
+    assert all(r.med > 0 for r in q)
