@@ -188,3 +188,63 @@ def test_sliding_windows(spark, tmp_path_factory):
         if (r["window_start"] - EPOCH).total_seconds() < 300
     }
     assert got == {0.0: (2, 2), 30.0: (3, 3), 60.0: (1, 1)}
+
+
+def test_restart_resumes_state(spark, tmp_path_factory):
+    """Kill the query after ingesting window0's rows (nothing emitted
+    yet — watermark still 0), restart from the same checkpoint, then
+    advance the watermark: window0 must finalize exactly once with the
+    pre-restart HLL state intact (distinct=3), proving the kernels
+    live in the fault-tolerant state store, not in process memory."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from sketchlib.streaming import windowed_sketch_stream
+
+    src = str(tmp_path_factory.mktemp("restart_src"))
+    ckpt = str(tmp_path_factory.mktemp("restart_ckpt"))
+    sink_dir = str(tmp_path_factory.mktemp("restart_sink"))
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("user_id", LongType())]
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = windowed_sketch_stream(
+            stream,
+            "ts",
+            [],
+            [SketchSpec("hll", "hll", "user_id", {"p": 12})],
+            window_duration="1 minute",
+            watermark_delay="10 seconds",
+        )
+        # memory sink cannot recover from a checkpoint; the parquet
+        # sink is the fault-tolerant one (exactly-once file log)
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    _write_batch(src, 1, [(0, 1), (10, 2), (20, 3)])
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # state for window0 lives only in the checkpoint now
+
+    _write_batch(src, 2, [(300, 9)])
+    _write_batch(src, 3, [(330, 9)])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        rows = spark.read.parquet(sink_dir).collect()
+    finally:
+        q2.stop()
+    w0 = [r for r in rows if (r["window_start"] - EPOCH).total_seconds() == 0.0]
+    assert len(w0) == 1
+    assert w0[0]["n_updates"] == 3
+    assert round(load_state(bytes(w0[0]["state"])).count()) == 3
