@@ -213,8 +213,8 @@ def main() -> None:
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
     # the per-query timings must always make it into the JSON: reserve
     # their slice of the budget from the scaling/peak retries (the full
-    # 32-query pass measures ~125 s at sf0.1 on this host)
-    reserve = 150.0 if do_queries else 0.0
+    # query pass measures ~115-140 s at sf0.1 on this host)
+    reserve = 165.0 if do_queries else 0.0
 
     def raw_remaining() -> float:
         return deadline - (time.time() - t_start)
