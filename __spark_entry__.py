@@ -1160,6 +1160,22 @@ def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "structure string, size_param long, hash_param long")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labels: connected components over the exact
+    3-gram-Jaccard near-dup pairs (J >= 0.5), each doc labeled with its
+    cluster's min doc_id. Alternating Large-Star/Small-Star in pure
+    DataFrame ops (sketchlib.dedup.connected_components) — the step
+    that turns pairwise near-dup output into keep-one-per-cluster
+    decisions. Oracle: DuckDB recursive-CTE transitive closure over the
+    same exact pairs."""
+    from sketchlib.dedup import connected_components
+
+    pairs = q_ngram_jaccard_neardup(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
     "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
@@ -1195,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_guarantee": q_winnow_guarantee,
     "simhash_guarantee": q_simhash_guarantee,
     "lang_id_roundtrip": q_lang_id_roundtrip,
+    "dup_clusters": q_dup_clusters,
 }
 
 
@@ -1508,6 +1525,40 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 2, 0) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ic
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ic * 2 >= sa.sz + sb.sz - ic
+            ),
+            sym AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+                WHERE s.v <> r.u
+            )
+            SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+            FROM reach GROUP BY u
         """,
         # simhash_neardup: intentionally no oracle (bit-vote signatures
         # are not SQL-expressible); banding-vs-full-scan equality and

@@ -377,3 +377,113 @@ def minhash_neardup_pairs(
     if not expand_exact_dups:
         return rep_pairs
     return _expand_rep_pairs(rep_pairs, members)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering — connected components over near-dup pair output
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 64,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph in ``edges``,
+    where ``component`` is the minimum node id in each connected
+    component. This is the step that turns pairwise near-dup output
+    (minhash/simhash/SRP pairs) into duplicate CLUSTERS so a pipeline
+    can keep one representative per cluster.
+
+    Alternating Large-Star / Small-Star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round is two
+    groupBy+join passes over the edge list, and the edge set provably
+    converges to a star forest in O(log^2 n) rounds (observed 2-4 on
+    dedup graphs, whose components are near-cliques). Everything stays
+    distributed — per round the driver sees only a (count, hash-sum)
+    convergence fingerprint; ``localCheckpoint`` truncates the growing
+    lineage each round (on a multi-executor cluster prefer a reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so state
+    survives executor loss; same call shape).
+
+    Nodes with no edges don't appear in the output (joining singletons
+    back is the caller's one-liner, see ``drop_near_duplicates``).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def fingerprint(df: DataFrame):
+        lo, hi = F.least("a", "b"), F.greatest("a", "b")
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-proof under ANSI mode
+            F.sum(F.xxhash64(lo, hi).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_iter):
+        # Large-Star: every node u connects its strictly-larger
+        # neighbors to m(u) = min(Γ(u) ∪ {u}).
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        e = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # Small-Star: every node u connects its smaller neighbors and
+        # itself to the min of those neighbors.
+        down = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        mins = down.groupBy("a").agg(F.min("b").alias("m"))
+        stars = down.join(mins, "a")
+        e = (
+            stars.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # converged: e is a star forest (child -> component min); roots
+    # label themselves
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(e.select(F.col("b").alias("node"), F.col("b").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keep one representative (the min id) per duplicate cluster:
+    ``docs`` minus every non-representative member of each connected
+    component of ``pairs``. Singletons (no near-dup edge) pass through
+    untouched. The anti-join side holds only cluster members — tiny
+    next to the corpus — so Spark broadcasts it when it fits."""
+    cc = connected_components(pairs, src, dst)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
