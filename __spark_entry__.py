@@ -1160,6 +1160,65 @@ def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "structure string, size_param long, hash_param long")
 
 
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: for every source pair, estimate the distinct
+    shared-word count by inclusion–exclusion (|A|+|B|−|A∪B|, union via
+    lossless register-max merge of the per-source states) and check it
+    against the exact intersection within 4σ·(|A|+|B|+|A∪B|) — each of
+    the three estimates carries the published 1.04/√m (σ) error, so the
+    derived bound is their sum. The pair join runs over #sources state
+    rows (KB), never the corpus. Exact side: distinct (source, word)
+    self-join, the SQL oracle's own shape."""
+    from sketchlib.estimates import hll_union_count
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs, ["source"], [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})], fanout=8
+    )
+    st = merged.select("source", "state")
+    a = st.select(F.col("source").alias("source_a"), F.col("state").alias("state_a"))
+    b = st.select(F.col("source").alias("source_b"), F.col("state").alias("state_b"))
+    est = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            (
+                hll_count("state_a") + hll_count("state_b")
+                - hll_union_count("state_a", "state_b")
+            ).alias("est_inter"),
+        )
+    )
+    sw = docs.select("source", F.explode("words").alias("w")).distinct()
+    cnt = sw.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    x, y = sw.alias("x"), sw.alias("y")
+    inter = (
+        x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("inter_words"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("cnt").alias("cnt_a"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("cnt").alias("cnt_b"))
+    slack_terms = (
+        F.col("cnt_a") + F.col("cnt_b")  # |A| + |B|
+        + (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))  # |A ∪ B|
+    )
+    return (
+        inter.join(ca, "source_a")
+        .join(cb, "source_b")
+        .join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "inter_words",
+            (
+                F.abs(F.col("est_inter") - F.col("inter_words"))
+                <= F.greatest(F.lit(HLL_SLACK) * slack_terms, F.lit(3.0))
+            ).alias("hll_inter_ok"),
+        )
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labels: connected components over the exact
     3-gram-Jaccard near-dup pairs (J >= 0.5), each doc labeled with its
@@ -1212,6 +1271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_guarantee": q_simhash_guarantee,
     "lang_id_roundtrip": q_lang_id_roundtrip,
     "dup_clusters": q_dup_clusters,
+    "hll_set_algebra": q_hll_set_algebra,
 }
 
 
@@ -1525,6 +1585,17 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "hll_set_algebra": """
+            WITH sw AS (
+                SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+            SELECT x.source AS source_a, y.source AS source_b,
+                   COUNT(*) AS inter_words,
+                   TRUE AS hll_inter_ok
+            FROM sw x JOIN sw y ON x.w = y.w AND x.source < y.source
+            GROUP BY x.source, y.source
         """,
         "dup_clusters": """
             WITH RECURSIVE sh AS (

@@ -36,6 +36,23 @@ def hll_count(state: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(LongType())
+def hll_union_count(state_a: pd.Series, state_b: pd.Series) -> pd.Series:
+    """|A ∪ B| estimate from two HLL state columns. HLL union is
+    LOSSLESS (register max ≡ the sketch of A ∪ B built directly), so
+    set-algebra derived estimates — inclusion–exclusion intersection
+    |A|+|B|−|A∪B|, difference |A|−|A∩B| — carry per-term 1.04/√m
+    error. Each input state is deserialized fresh, so the in-place
+    merge never aliases caller data."""
+    return pd.Series(
+        [
+            int(load_state(a).merge(load_state(b)).count())
+            for a, b in zip(state_a, state_b)
+        ],
+        dtype="int64",
+    )
+
+
+@F.pandas_udf(LongType())
 def bloom_len(state: pd.Series) -> pd.Series:
     return state.map(lambda b: int(load_state(b).len_estimate()))
 

@@ -27,7 +27,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 # bounded-by-construction nested-loop joins, documented in the query
 # docstrings; everything else must broadcast/shuffle on a key
-CARTESIAN_OK = {"ann_cosine_topk", "winnow_guarantee"}
+CARTESIAN_OK = {
+    "ann_cosine_topk",
+    "winnow_guarantee",
+    # pair join over #sources merged STATE rows (KB), never the corpus
+    "hll_set_algebra",
+}
 
 def _all_plans(spark):
     import __spark_entry__ as mod
