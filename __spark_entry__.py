@@ -335,10 +335,9 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard near-duplicate pairs (J >= 0.5,
-    doc_a < doc_b). The SQL-expressible oracle for the MinHash path."""
-    docs = _words(_t(spark, sf_dir, "documents"))
+def _jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs (J >= 0.5, doc_a < doc_b)
+    over a (doc_id, words) frame — the SQL-expressible exact path."""
     sh = docs.select(
         F.col("doc_id"),
         F.explode(
@@ -369,6 +368,12 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("inter") * 2 >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .select("doc_a", "doc_b")
     )
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-duplicate pairs (J >= 0.5,
+    doc_a < doc_b). The SQL-expressible oracle for the MinHash path."""
+    return _jaccard_pairs(_words(_t(spark, sf_dir, "documents")))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,6 +1165,64 @@ def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "structure string, size_param long, hash_param long")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation funnel, per source:
+    raw -> quality gate (n_words >= 40 AND stopword share < 1/5, pure
+    integer arithmetic so both engines agree exactly) -> exact dedup
+    (md5 fingerprint, keep min doc_id) -> near-dup cluster dedup
+    (exact-Jaccard edges at J >= 0.5 -> connected components -> keep
+    each cluster's min id). Every stage is a library operator
+    (textops-style JVM expressions, fingerprint dedup,
+    dedup.connected_components); at 100 TB the edge set comes from
+    minhash_neardup_pairs instead of the exact shingle join — same
+    funnel, sub-quadratic candidates. Oracle: the identical funnel in
+    SQL (window-min exact dedup + recursive-CTE components)."""
+    from pyspark.sql import Window
+
+    from sketchlib.dedup import connected_components
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    stop = ("the", "a")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        "words",
+        F.size("words").alias("nw"),
+        F.size(F.filter("words", lambda w: w.isin(*stop))).alias("ns"),
+    )
+    qual = base.filter((F.col("nw") >= 40) & (F.col("ns") * 5 < F.col("nw")))
+    keep_exact = (
+        qual.withColumn("min_id", F.min("doc_id").over(Window.partitionBy(F.md5("text"))))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "source", "words")
+    )
+    pairs = _jaccard_pairs(keep_exact)
+    losers = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    final = keep_exact.join(losers, "doc_id", "left_anti")
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        per_source(docs, "n_input")
+        .join(per_source(qual, "n_quality"), "source", "left")
+        .join(per_source(keep_exact, "n_exact"), "source", "left")
+        .join(per_source(final, "n_final"), "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        )
+    )
+
+
 def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra: for every source pair, estimate the distinct
     shared-word count by inclusion–exclusion (|A|+|B|−|A∪B|, union via
@@ -1272,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_roundtrip": q_lang_id_roundtrip,
     "dup_clusters": q_dup_clusters,
     "hll_set_algebra": q_hll_set_algebra,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 
@@ -1585,6 +1649,66 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "curation_pipeline": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source, text, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, source, text, words FROM d
+                WHERE len(words) >= 40
+                  AND 5 * len(list_filter(words, w -> w IN ('the', 'a'))) < len(words)
+            ),
+            ek AS (
+                SELECT doc_id, source, words FROM (
+                    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+                    FROM q
+                ) WHERE doc_id = min_id
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM ek, UNNEST(range(1, GREATEST(len(words) - 2, 0) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ic
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ic * 2 >= sa.sz + sb.sz - ic
+            ),
+            sym AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+            ),
+            labels AS (
+                SELECT u AS doc_id, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u
+            ),
+            fin AS (
+                SELECT ek.doc_id, ek.source FROM ek
+                LEFT JOIN labels USING (doc_id)
+                WHERE labels.doc_id IS NULL OR ek.doc_id = labels.cid
+            )
+            SELECT i.source,
+                   i.n_input,
+                   COALESCE(qc.n_quality, 0) AS n_quality,
+                   COALESCE(ec.n_exact, 0) AS n_exact,
+                   COALESCE(fc.n_final, 0) AS n_final
+            FROM (SELECT source, COUNT(*) AS n_input FROM d GROUP BY source) i
+            LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source) qc USING (source)
+            LEFT JOIN (SELECT source, COUNT(*) AS n_exact FROM ek GROUP BY source) ec USING (source)
+            LEFT JOIN (SELECT source, COUNT(*) AS n_final FROM fin GROUP BY source) fc USING (source)
         """,
         "hll_set_algebra": """
             WITH sw AS (
