@@ -414,6 +414,11 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialize the input ONCE: round 1 reads the edge list four
+        # times (union of both directions, then two consumers of sym) —
+        # without this the upstream pair computation (often an expensive
+        # near-dup join) re-runs per consumer
+        .localCheckpoint()
     )
 
     def fingerprint(df: DataFrame):
