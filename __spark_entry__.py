@@ -1165,6 +1165,77 @@ def q_ctor_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "structure string, size_param long, hash_param long")
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation: native ``F.session_window`` (6 h
+    inactivity gap) sessionizes each user's events; per-user session
+    stats are exact and SQL-checkable (the oracle re-derives sessions
+    with lag + running-sum; a gap of EXACTLY 6 h starts a new session
+    in both, matching Spark's exclusive window end). A global KLL(k=200)
+    sketch over all session sizes checks q50/q90 with a tie-aware rank
+    band: sizes are small ints with heavy ties, so the correct
+    assertion is rank(<v) - eps <= q <= rank(<=v) + eps, not
+    |rank(<=v) - q| <= eps."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+    merged = sketch_aggregate(
+        sess.select(F.lit(1).alias("g"), F.col("n_events").cast("double").alias("sz")),
+        ["g"],
+        [SketchSpec("kll", "kll", "sz", {"k": 200, "seed": SEED})],
+        fanout=8,
+    )
+    state = bytes(merged.select("state").collect()[0][0])
+    q50, q90 = KLL.from_bytes(state).quantiles([0.5, 0.9]).tolist()
+    ranks = sess.select(
+        (F.sum((F.col("n_events") < q50).cast("long")) / F.count(F.lit(1))).alias("lo50"),
+        (F.sum((F.col("n_events") <= q50).cast("long")) / F.count(F.lit(1))).alias("hi50"),
+        (F.sum((F.col("n_events") < q90).cast("long")) / F.count(F.lit(1))).alias("lo90"),
+        (F.sum((F.col("n_events") <= q90).cast("long")) / F.count(F.lit(1))).alias("hi90"),
+    ).collect()[0]
+    ok50 = bool(ranks["lo50"] - 0.05 <= 0.5 <= ranks["hi50"] + 0.05)
+    ok90 = bool(ranks["lo90"] - 0.05 <= 0.9 <= ranks["hi90"] + 0.05)
+    return per_user.select(
+        "user_id",
+        "n_sessions",
+        "max_session_events",
+        "total_events",
+        F.lit(ok50).alias("kll_q50_ok"),
+        F.lit(ok90).alias("kll_q90_ok"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition (Gopher/RefinedWeb 'top n-gram share' rule):
+    per source, the summed top-2-gram counts vs total 2-grams and how
+    many docs are repetitive (top gram > 1/5 of all grams, integer
+    compare). All-integer outputs so both engines agree exactly."""
+    from sketchlib.textops import top_ngram_share
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    rep = top_ngram_share(docs.select("doc_id", "words"), "doc_id", "words", 2)
+    return (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("max_gram_count").alias("sum_top_gram"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.sum((F.col("max_gram_count") * 5 > F.col("n_grams")).cast("long")).alias(
+                "n_repetitive"
+            ),
+        )
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation funnel, per source:
     raw -> quality gate (n_words >= 40 AND stopword share < 1/5, pure
@@ -1336,6 +1407,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "hll_set_algebra": q_hll_set_algebra,
     "curation_pipeline": q_curation_pipeline,
+    "repetition_stats": q_repetition_stats,
+    "session_windows": q_session_windows,
 }
 
 
@@ -1649,6 +1722,53 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "session_windows": """
+            WITH m AS (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 6 HOUR
+                            THEN 1 ELSE 0 END AS new_s
+                FROM m
+            ),
+            sid AS (
+                SELECT user_id,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                FROM s
+            ),
+            sess AS (
+                SELECT user_id, sess, COUNT(*) AS n_events
+                FROM sid GROUP BY user_id, sess
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_sessions,
+                   CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+                   CAST(SUM(n_events) AS BIGINT) AS total_events,
+                   TRUE AS kll_q50_ok,
+                   TRUE AS kll_q90_ok
+            FROM sess GROUP BY user_id
+        """,
+        "repetition_stats": """
+            WITH g AS (
+                SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 1, 0) + 1)) AS t(i)
+            ),
+            pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+            pd AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_c FROM pg GROUP BY doc_id)
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(max_c) AS BIGINT) AS sum_top_gram,
+                   CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+                   CAST(SUM(CASE WHEN max_c * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_repetitive
+            FROM documents d JOIN pd USING (doc_id)
+            GROUP BY d.source
         """,
         "curation_pipeline": """
             WITH RECURSIVE d AS (

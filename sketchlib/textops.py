@@ -33,6 +33,34 @@ def token_count_col(text_col: str):
     return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+def top_ngram_share(df, id_col: str, words_col: str, n: int = 2):
+    """Per-doc repetition signal: (id, n_grams, max_gram_count) where
+    max_gram_count is the most frequent word n-gram's count. The
+    Gopher/RefinedWeb "top n-gram share" quality rule is
+    max_gram_count/n_grams; ratios near 1 mean the document is one
+    phrase repeated. Pure JVM expressions + one grouped count — docs
+    with fewer than n words are dropped (no n-grams to measure)."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    words_col, 1, F.greatest(F.size(words_col) - F.lit(n - 1), F.lit(0))
+                ),
+                lambda w, i: F.concat_ws(
+                    " ", *[F.element_at(words_col, i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("__id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("__id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("max_gram_count"))
+        .select(F.col("__id").alias(id_col), "n_grams", "max_gram_count")
+    )
+
+
 # ---------------------------------------------------------------- lang id
 
 
