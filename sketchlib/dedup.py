@@ -43,7 +43,7 @@ def shingle_col(words_col: str, n: int = 3):
     )
 
 
-def _signature_fn(n_hashes: int, bands: int, seed: int):
+def _signature_fn(n_hashes: int, bands: int, seed: int, emit_fp: bool = False):
     rows_per_band = n_hashes // bands
     seeds = splitmix64(np.arange(n_hashes, dtype=np.uint64) + np.uint64(seed))
 
@@ -58,6 +58,18 @@ def _signature_fn(n_hashes: int, bands: int, seed: int):
                 continue
             starts = (np.cumsum(lengths) - lengths)[keep]
             n_docs = int(keep.sum())
+            if emit_fp:
+                # exact-duplicate fingerprint of the sorted-distinct
+                # shingle-hash SET, fused into the same Arrow pass so
+                # rep-collapse never touches the (large) arrays again:
+                # wrap-sum + xor + size, each mixed — order-invariant by
+                # construction, collision odds ~2^-64 per pair
+                with np.errstate(over="ignore"):
+                    fp_sum = np.add.reduceat(flat, starts)
+                    fp_xor = np.bitwise_xor.reduceat(flat, starts)
+                    fp = splitmix64(
+                        fp_sum ^ splitmix64(fp_xor ^ lengths[keep].astype(np.uint64))
+                    )
             sig = np.empty((n_docs, n_hashes), dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for i in range(n_hashes):
@@ -77,7 +89,15 @@ def _signature_fn(n_hashes: int, bands: int, seed: int):
             band_list = pa.ListArray.from_arrays(
                 offsets, pa.array(bkeys.reshape(-1).astype(np.int64).view(np.int64))
             )
-            yield pa.RecordBatch.from_arrays([kept_ids, band_list], names=["doc_id", "band_keys"])
+            if emit_fp:
+                yield pa.RecordBatch.from_arrays(
+                    [kept_ids, pa.array(fp.view(np.int64)), band_list],
+                    names=["doc_id", "fp", "band_keys"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [kept_ids, band_list], names=["doc_id", "band_keys"]
+                )
 
     return fn
 
@@ -321,6 +341,8 @@ def minhash_neardup_pairs(
     """
     from pyspark import StorageLevel
 
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
     shingles = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(
@@ -329,31 +351,34 @@ def minhash_neardup_pairs(
             )
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
-    # the shingle arrays feed four consumers (fingerprints, reps, band
-    # signatures, exact verify) through layered joins — without a
-    # persist Catalyst re-derives this most-expensive expression chain
-    # once per consumer per action (measured 20x+ recompute). Spills to
-    # disk if it outgrows memory; at full scale you would write this
-    # stage out explicitly instead.
+    # the shingle arrays feed two consumers (the fused fp+signature
+    # Arrow pass, the exact verify) — without a persist Catalyst
+    # re-derives this most-expensive expression chain once per consumer
+    # per action (measured 20x+ recompute). Spills to disk if it
+    # outgrows memory; at full scale you would write this stage out
+    # explicitly instead.
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    fps = shingles.select("doc_id", F.xxhash64("sh").alias("fp"))
-    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    members = fps.join(reps, "fp").select("doc_id", "fp", "rep")
-    rep_sh = shingles.join(
-        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
-    )
-    if n_hashes % bands:
-        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
-    bandkeys = rep_sh.mapInArrow(
-        _signature_fn(n_hashes, bands, seed),
+    # ONE Arrow pass computes the exact-dup fingerprint AND the minhash
+    # band keys for every doc; rep-collapse then filters on these small
+    # rows. (The previous shape joined the full shingle ARRAYS against
+    # the member table to pick reps before signing — at corpus scale
+    # that shuffles every array; signature rows are ~0.5 KB.)
+    sigs = shingles.mapInArrow(
+        _signature_fn(n_hashes, bands, seed, emit_fp=True),
         StructType(
             [
                 StructField("doc_id", df.schema[id_col].dataType, False),
+                StructField("fp", LongType(), False),
                 StructField("band_keys", ArrayType(LongType()), False),
             ]
         ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = sigs.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    members = sigs.select("doc_id", "fp").join(reps, "fp").select("doc_id", "fp", "rep")
+    rep_keys = sigs.join(reps.select(F.col("rep").alias("doc_id")), "doc_id").select(
+        "doc_id", "band_keys"
     )
-    exploded = bandkeys.select("doc_id", F.posexplode("band_keys").alias("band", "key"))
+    exploded = rep_keys.select("doc_id", F.posexplode("band_keys").alias("band", "key"))
     exploded = _cap_bucket_keys(exploded, bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -367,8 +392,8 @@ def minhash_neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = rep_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = rep_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = cands.join(sa, "doc_a").join(sb, "doc_b")
     # exact verify on sorted hash arrays: |A ∩ B| / |A ∪ B| >= t
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
