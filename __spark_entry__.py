@@ -251,6 +251,47 @@ def q_tdigest_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED t-digest per l_returnflag: l_extendedprice weighted by
+    l_quantity (insert_weighted path, tdigest.rs:318-345). The digest's
+    total weight is exact (quantities are whole numbers, float64 sums
+    of integers are exact in any order); the weighted median is checked
+    by its exact weighted rank: sum of weight at values <= q50 must
+    bracket half the total weight within ±5%."""
+    li = _t(spark, sf_dir, "lineitem")
+    merged = sketch_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            SketchSpec(
+                "wtd",
+                "tdigest",
+                "l_extendedprice",
+                {"delta": 200.0},
+                weight_col="l_quantity",
+            )
+        ],
+        fanout=8,
+    )
+    rows = merged.select("l_returnflag", "state").collect()
+    stats = [
+        (flag, int(TDigest.from_bytes(bytes(b)).count()), TDigest.from_bytes(bytes(b)).quantile(0.5))
+        for flag, b in rows
+    ]
+    sdf = spark.createDataFrame(stats, "l_returnflag string, total_weight long, q50 double")
+    ranks = li.join(F.broadcast(sdf), "l_returnflag").groupBy("l_returnflag").agg(
+        (
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("q50"), F.col("l_quantity")).otherwise(0.0))
+            / F.sum("l_quantity")
+        ).alias("rank50")
+    )
+    return sdf.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        "total_weight",
+        (F.abs(F.col("rank50") - 0.5) <= 0.05).alias("wq50_ok"),
+    )
+
+
 def q_kll_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantiles per event_type, rank-error-checked: the exact rank
     of the estimated quantile must be within ±0.05 of the target."""
@@ -1409,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "repetition_stats": q_repetition_stats,
     "session_windows": q_session_windows,
+    "tdigest_weighted_price": q_tdigest_weighted_price,
 }
 
 
@@ -1722,6 +1764,12 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "tdigest_weighted_price": """
+            SELECT l_returnflag,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_weight,
+                   TRUE AS wq50_ok
+            FROM lineitem GROUP BY l_returnflag
         """,
         "session_windows": """
             WITH m AS (

@@ -98,3 +98,10 @@ def test_drop_near_duplicates(spark):
     kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
     # cluster {d0,d1,d2} keeps d0; {d4,d5} keeps d4; d3 is a singleton
     assert kept == ["d0", "d3", "d4"]
+
+
+def test_cc_empty_and_self_loops(spark):
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([("a", "a")], "doc_a string, doc_b string")
+    assert connected_components(loops).count() == 0
