@@ -251,6 +251,53 @@ def q_tdigest_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-SQL API surface end-to-end: merged sketch states land
+    in a temp view and are read back with spark.sql + the registered
+    estimator UDFs (estimates.register_sql_functions) — no DataFrame
+    code in the read path. Estimates are bound-checked against the
+    exact answers inside the same SQL statement."""
+    from sketchlib.estimates import register_sql_functions
+
+    register_sql_functions(spark)
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs,
+        ["source"],
+        [
+            SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED}),
+            SketchSpec("td", "tdigest", "n_chars", {"delta": 200.0}),
+        ],
+        fanout=8,
+    )
+    merged.createOrReplaceTempView("sketch_states")
+    docs.select("doc_id", "source", F.explode("words").alias("w"), "n_chars").createOrReplaceTempView(
+        "doc_words"
+    )
+    return spark.sql(f"""
+        WITH exact AS (
+            SELECT source,
+                   COUNT(DISTINCT w) AS distinct_words,
+                   MIN(n_chars) AS min_chars
+            FROM doc_words GROUP BY source
+        ),
+        est AS (
+            SELECT h.source,
+                   hll_count(h.state) AS hll_est,
+                   tdigest_quantile(t.state, 0.0d) AS td_min
+            FROM sketch_states h
+            JOIN sketch_states t ON h.source = t.source
+            WHERE h.sketch = 'hll' AND t.sketch = 'td'
+        )
+        SELECT exact.source,
+               exact.distinct_words,
+               ABS(est.hll_est - exact.distinct_words)
+                   <= GREATEST({HLL_SLACK} * exact.distinct_words, 3.0) AS hll_ok,
+               est.td_min = CAST(exact.min_chars AS DOUBLE) AS td_min_ok
+        FROM exact JOIN est ON exact.source = est.source
+    """)
+
+
 def q_tdigest_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED t-digest per l_returnflag: l_extendedprice weighted by
     l_quantity (insert_weighted path, tdigest.rs:318-345). The digest's
@@ -1451,6 +1498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "session_windows": q_session_windows,
     "tdigest_weighted_price": q_tdigest_weighted_price,
+    "sql_interface": q_sql_interface,
 }
 
 
@@ -1764,6 +1812,14 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "sql_interface": """
+            SELECT source,
+                   COUNT(DISTINCT w) AS distinct_words,
+                   TRUE AS hll_ok,
+                   TRUE AS td_min_ok
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY source
         """,
         "tdigest_weighted_price": """
             SELECT l_returnflag,
