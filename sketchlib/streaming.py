@@ -21,6 +21,8 @@ long-running streams.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .agg import SketchSpec, build_partials, merge_partials
@@ -235,3 +237,154 @@ def windowed_sketch_stream(
     return keyed.groupBy(*gcols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-duplicate detection (streaming MinHash LSH)
+# ---------------------------------------------------------------------------
+
+
+def neardup_stream_writer(
+    stream_df: DataFrame,
+    id_col: str,
+    words_col: str,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 32,
+    seed: int | None = None,
+    bucket_cap: int | None = 4096,
+):
+    """Incremental near-dup detection: every micro-batch's docs are
+    MinHash-banded and matched against ALL previously seen docs via the
+    accumulated (doc_id, band, key) store, candidates exactly verified
+    (shingle-set Jaccard >= threshold), and each verified pair emitted
+    EXACTLY ONCE — in the partition of its later-arriving member (both
+    writes are batch_id-partitioned dynamic overwrites, so foreachBatch
+    replays rewrite their own partitions instead of double-emitting).
+
+    Store growth is the banded corpus itself: (doc_id, band, key) int
+    rows plus one sorted shingle-hash array per doc — the same
+    artifacts the batch path shuffles, persisted instead. Hot buckets
+    are capped on the UNION of history and batch, so a degenerate key
+    stops producing candidates once it exceeds ``bucket_cap``.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from .dedup import DEFAULT_SEED, _signature_fn, shingle_col
+
+    if seed is None:
+        seed = DEFAULT_SEED
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    keys_dir = os.path.join(store_path, "keys")
+    sh_dir = os.path.join(store_path, "shingles")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        shingles = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"),
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            shingle_col(words_col, shingle_n), lambda x: F.xxhash64(x)
+                        )
+                    )
+                ).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .persist()
+        )
+        id_type = batch_df.schema[id_col].dataType
+        sigs = shingles.mapInArrow(
+            _signature_fn(n_hashes, bands, seed),
+            StructType(
+                [
+                    StructField("doc_id", id_type, False),
+                    StructField("band_keys", ArrayType(LongType()), False),
+                ]
+            ),
+        )
+        brows = sigs.select(
+            "doc_id", F.posexplode("band_keys").alias("band", "key")
+        ).persist()
+        try:
+            hist = spark.read.parquet(keys_dir).filter(F.col(_BATCH_COL) != bid).drop(
+                _BATCH_COL
+            )
+            hist_sh = spark.read.parquet(sh_dir).filter(F.col(_BATCH_COL) != bid).drop(
+                _BATCH_COL
+            )
+        except Exception:  # first batch: no store yet
+            hist = spark.createDataFrame([], brows.schema)
+            hist_sh = spark.createDataFrame([], shingles.schema)
+        allrows = hist.unionByName(brows)
+        if bucket_cap is not None:
+            hot = (
+                allrows.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > bucket_cap)
+                .select("band", "key")
+            )
+            allrows = allrows.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            brows_c = brows.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        else:
+            brows_c = brows
+        x, y = brows_c.alias("x"), allrows.alias("y")
+        cands = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc_id") != F.col("y.doc_id")),
+            )
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        all_sh = hist_sh.unionByName(shingles)
+        sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        pairs = (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(inter >= F.lit(threshold) * union)
+            .select("doc_a", "doc_b")
+        )
+        for df, path in (
+            (pairs, pairs_path),
+            (brows, keys_dir),
+            (shingles, sh_dir),
+        ):
+            (
+                df.withColumn(_BATCH_COL, F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_BATCH_COL)
+                .parquet(path)
+            )
+        shingles.unpersist()
+        brows.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All verified near-dup pairs found by the stream so far. Unique by
+    construction (each pair lands in exactly one batch partition)."""
+    return spark.read.parquet(pairs_path).select("doc_a", "doc_b")
