@@ -214,7 +214,7 @@ def main() -> None:
     # the per-query timings must always make it into the JSON: reserve
     # their slice of the budget from the scaling/peak retries (the full
     # query pass measures ~115-140 s at sf0.1 on this host)
-    reserve = 190.0 if do_queries else 0.0
+    reserve = 215.0 if do_queries else 0.0
 
     def raw_remaining() -> float:
         return deadline - (time.time() - t_start)
