@@ -34,7 +34,14 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 DEFAULT_SEED = 0x5EEDC0DE
 
@@ -421,6 +428,209 @@ def ivf_topk(
     q = qdf.select("query_id", F.col("qv").cast("array<double>").alias("qe"))
     scored = (
         cands.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .withColumn("sim", cosine_col(F.col("qe"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN scan + exact rescore
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    sample_cap: int = 65536,
+    iters: int = 12,
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split the (L2-normalized)
+    vector into ``m`` subspaces of dim/m and run k-means with ``k_cent``
+    centroids per subspace on a deterministic hash-sample — same
+    bounded-sample recipe as :func:`ivf_centroids`. Returns
+    (m, k_cent, dim//m) float64 codebooks, reproducible per seed."""
+    if dim % m:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    dsub = dim // m
+    n = emb.count()
+    stride = max(1, n // sample_cap)
+    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v")).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+    mat = np.array(sample.toPandas()["v"].tolist(), dtype=np.float64)
+    if mat.shape[0] < k_cent:
+        raise ValueError(f"sample too small ({mat.shape[0]}) for k_cent={k_cent}")
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k_cent, dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = mat[:, mi * dsub : (mi + 1) * dsub]
+        cents = sub[rng.choice(sub.shape[0], size=k_cent, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_cent):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:  # dead centroid: reseed from the worst-served point
+                    cents[c] = sub[d2.min(axis=1).argmax()]
+        books[mi] = cents
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes array<int>[m]): nearest sub-centroid per subspace for
+    the L2-normalized vector — one distance matrix per subspace per
+    Arrow batch. m bytes-worth of code replaces dim floats (32x at
+    dim=64/m=8/k=16): at corpus scale the ADC scan reads ONLY this."""
+    m, k_cent, dsub = codebooks.shape
+    dim = m * dsub
+    id_type = emb.schema[id_col].dataType
+    narrow = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    out_schema = StructType(
+        [
+            StructField("vid", id_type, False),
+            StructField("codes", ArrayType(IntegerType()), False),
+        ]
+    )
+    cb = codebooks
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column("v").flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, dim).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((n, m), dtype=np.int32)
+            for mi in range(m):
+                sub = mat[:, mi * dsub : (mi + 1) * dsub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d2 = -2.0 * (sub @ cb[mi].T) + (cb[mi] ** 2).sum(axis=1)[None, :]
+                codes[:, mi] = d2.argmin(axis=1)
+            offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vid"), pa.ListArray.from_arrays(offs, pa.array(codes.reshape(-1)))],
+                names=["vid", "codes"],
+            )
+
+    return narrow.mapInArrow(fn, out_schema)
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "query_id",
+    q_vec: str = "qe",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC):
+    each query precomputes an (m, k_cent) lookup table of sub-inner-
+    products against the codebooks (driver-side: queries x m x k_cent
+    doubles, KBs); the scan then scores every CODE row with m table
+    lookups — a numpy gather over the compact codes, never touching the
+    vectors — keeps the per-partition top-``rerank`` per query, and
+    exactly re-scores only those by joining the true embeddings.
+    Precision 1.0; recall governed by (m, k_cent, rerank)."""
+    m, k_cent, dsub = codebooks.shape
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+    qrows = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv")).collect()
+    luts, qids = [], []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        luts.append(
+            np.stack(
+                [codebooks[mi] @ qv[mi * dsub : (mi + 1) * dsub] for mi in range(m)]
+            )
+        )
+        qids.append(r["query_id"])
+    lut_arr = np.stack(luts)  # (nq, m, k_cent)
+    nq = len(qids)
+    id_field = codes.schema["vid"].dataType
+    part_schema = StructType(
+        [
+            StructField("qi", IntegerType(), False),
+            StructField("neighbor_id", id_field, False),
+            StructField("approx", DoubleType(), False),
+        ]
+    )
+
+    def scan(batches):
+        midx = np.arange(m)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            carr = batch.column("codes").flatten().to_numpy(zero_copy_only=False)
+            cmat = carr.reshape(n, m)
+            vids = np.asarray(batch.column("vid"))
+            for qi in range(nq):
+                scores = lut_arr[qi][midx[None, :], cmat].sum(axis=1)
+                take = min(rerank, n)
+                top = np.argpartition(-scores, take - 1)[:take]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(take, qi, dtype=np.int32)),
+                        pa.array(vids[top]),
+                        pa.array(scores[top]),
+                    ],
+                    names=["qi", "neighbor_id", "approx"],
+                )
+
+    part_top = codes.mapInArrow(scan, part_schema)
+    spark = emb.sparkSession
+    qmap = spark.createDataFrame(
+        list(zip(range(nq), qids)),
+        StructType(
+            [
+                StructField("qi", IntegerType(), False),
+                StructField("query_id", queries.schema[q_id].dataType, False),
+            ]
+        ),
+    )
+    wg = Window.partitionBy("qi").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    global_top = (
+        part_top.withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") <= rerank)
+        .join(F.broadcast(qmap), "qi")
+        .select("query_id", "neighbor_id")
+    )
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).cast("array<double>").alias("qe")
+    )
+    scored = (
+        global_top.join(F.broadcast(q), "query_id")
         .join(e, "neighbor_id")
         .withColumn("sim", cosine_col(F.col("qe"), F.col("e")))
     )

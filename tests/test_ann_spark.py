@@ -87,3 +87,25 @@ def test_ivf_centroids_deterministic(spark, emb):
     c2 = ivf_centroids(emb, DIM, n_lists=8, seed=3)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_pq_topk_recall(spark, emb):
+    from sketchlib.ann import pq_encode, pq_topk, pq_train
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    books = pq_train(emb, dim=DIM, m=8, k_cent=16, seed=3)
+    assert books.shape == (8, 16, DIM // 8)
+    codes = pq_encode(emb, books)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, q, books, k=10, rerank=80, codes=codes).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    # determinism: same seed, same codebooks
+    assert (books == pq_train(emb, dim=DIM, m=8, k_cent=16, seed=3)).all()
