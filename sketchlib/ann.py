@@ -22,6 +22,10 @@ Three operators (training-data-pipeline requirement):
   candidates exactly re-scored. The complementary scale path to SRP:
   data-adaptive partitioning wins on clustered corpora, LSH on
   adversarially uniform ones.
+- :func:`pq_topk` — product quantization (Jégou et al., TPAMI 2011):
+  per-subspace k-means codebooks, corpus encoded to m small ints, ADC
+  scan over the compact codes only (m LUT gathers per row), exact
+  rescore of the per-partition top-rerank survivors.
 
 Randomness: projection matrices come from ``np.random.default_rng(seed)``
 (PCG64 — reproducible across processes/platforms), so signatures are
