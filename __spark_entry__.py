@@ -1173,7 +1173,6 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     its published 4-sigma bound, and that the streamed n_updates
     equals the exact row count."""
     import datetime as _dt
-    import glob as _glob
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -1190,16 +1189,33 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = 7 * 24 * 3600
     src = _tempfile.mkdtemp(prefix="winstream_src_")
     ckpt = _tempfile.mkdtemp(prefix="winstream_ckpt_")
-    evp = os.path.join(sf_dir, "events.parquet")
-    files = (
-        sorted(_glob.glob(os.path.join(evp, "*.parquet")))
-        if os.path.isdir(evp)
-        else [evp]
-    )
-    for i, f in enumerate(files):
-        _shutil.copy(f, os.path.join(src, f"b{i:03d}.parquet"))
     ev = _t(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # micro-batch files must be TIME-CONTIGUOUS segments (real event-time
+    # arrival order): feeding arbitrary part files that each span the
+    # whole time range would advance the watermark past every open
+    # window on batch 1 and drop the rest as stragglers. Harness prep
+    # only (KB-MB of rows), not an engine path: sort driver-side and cut
+    # into 4 ordered files.
+    pdf = (
+        ev.select("ts", "user_id", "event_type")
+        .orderBy("ts")
+        .toPandas()
+    )
+    n_seg = 4
+    seg = max(1, -(-len(pdf) // n_seg))
+    for i in range(n_seg):
+        chunk = pdf.iloc[i * seg : (i + 1) * seg]
+        if len(chunk):
+            tbl = _pa.Table.from_pandas(chunk, preserve_index=False)
+            # pandas emits ns-precision timestamps; Spark's parquet
+            # reader wants us
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                tbl["ts"].cast(_pa.timestamp("us")),
+            )
+            _pq.write_table(tbl, os.path.join(src, f"b{i:03d}.parquet"))
+    max_ts = pdf["ts"].max().to_pydatetime()
     for j, days in enumerate((40, 80)):
         _pq.write_table(
             _pa.table(
@@ -1241,6 +1257,10 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        # results live in the memory sink; the source files and the
+        # stream checkpoint are dead weight from here
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
     states = (
         spark.sql(f"select * from {sink}")
         .filter(F.col("event_type") != "__sentinel__")

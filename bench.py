@@ -312,10 +312,11 @@ def main() -> None:
         # one-time session warmup (untimed): Python-worker pool spawn,
         # Arrow serde, codegen JIT otherwise land wholesale in the
         # FIRST query's number (measured ~7 s of a 9 s first query)
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if not os.path.isdir(warm_dir):
+            warm_dir = sf_dir  # fall back to the bench dir itself
         try:
-            mod.queries()["hll_distinct_users_per_event_type"](
-                spark, "/root/testdata/sf0.001"
-            ).collect()
+            mod.queries()["hll_distinct_users_per_event_type"](spark, warm_dir).collect()
         except Exception:
             pass
         for name, fn in mod.queries().items():

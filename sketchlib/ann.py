@@ -233,8 +233,10 @@ def cosine_neardup_pairs_blocked(
         lo = np.minimum(ids_a, ids_b)
         hi = np.maximum(ids_a, ids_b)
         keep = lo < hi  # drops self-pairs and diagonal double-counts
-        pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
-        return pd.DataFrame({"id_a": pairs[:, 0], "id_b": pairs[:, 1]})
+        # drop_duplicates, not np.unique(axis=0): the id column may be
+        # any orderable dtype (string doc ids make object arrays, which
+        # np.unique's axis kwarg rejects)
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
 
     return side_a.unionByName(side_b).groupBy("bp").applyInPandas(tile, out_schema)
 
@@ -299,10 +301,28 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
         keep = lo < hi  # drops the diagonal and one triangle
-        pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
-        return pd.DataFrame({"id_a": pairs[:, 0], "id_b": pairs[:, 1]})
+        # see cosine_neardup_pairs_blocked: object-dtype-safe dedup
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
 
     return rows.groupBy("key").applyInPandas(tile, out_schema).distinct()
+
+
+def _hash_sample(
+    emb: DataFrame, id_col: str, vec_col: str, sample_cap: int
+) -> np.ndarray:
+    """L2-normalized float64 matrix of a deterministic hash-sample of
+    ~``sample_cap`` vectors — the shared bounded-sample recipe for
+    codebook/centroid training (IVF and PQ)."""
+    n = emb.count()
+    stride = max(1, n // sample_cap)
+    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v")).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+    mat = np.array(sample.toPandas()["v"].tolist(), dtype=np.float64)
+    if mat.size:
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat
+
 
 
 # ---------------------------------------------------------------------------
@@ -326,15 +346,9 @@ def ivf_centroids(
     the only full-corpus pass is the cheap assignment matmul). Returns
     L2-normalized (n_lists, dim) float64 centroids, reproducible per
     seed."""
-    n = emb.count()
-    stride = max(1, n // sample_cap)
-    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v")).filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
-    )
-    mat = np.array(sample.toPandas()["v"].tolist(), dtype=np.float64)
+    mat = _hash_sample(emb, id_col, vec_col, sample_cap)
     if mat.shape[0] < n_lists:
         raise ValueError(f"sample too small ({mat.shape[0]}) for n_lists={n_lists}")
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(mat.shape[0], size=n_lists, replace=False)]
     for _ in range(iters):
@@ -468,15 +482,9 @@ def pq_train(
     if dim % m:
         raise ValueError(f"m ({m}) must divide dim ({dim})")
     dsub = dim // m
-    n = emb.count()
-    stride = max(1, n // sample_cap)
-    sample = emb.select(F.col(vec_col).cast("array<double>").alias("v")).filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
-    )
-    mat = np.array(sample.toPandas()["v"].tolist(), dtype=np.float64)
+    mat = _hash_sample(emb, id_col, vec_col, sample_cap)
     if mat.shape[0] < k_cent:
         raise ValueError(f"sample too small ({mat.shape[0]}) for k_cent={k_cent}")
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     books = np.empty((m, k_cent, dsub), dtype=np.float64)
     for mi in range(m):

@@ -16,6 +16,15 @@ Scale shape (the 100 TB path):
 MinHash/LSH are public constructions (Broder; Leskovec-Rajaraman-Ullman
 ch. 3); not part of the reference, added per the training-data-pipeline
 requirement.
+
+Cache lifecycle: the pair-finding functions persist small intermediates
+(shingle arrays, signature rows) because the lazy result plan consumes
+them several times; the functions cannot unpersist (the caller hasn't
+materialized yet). One-shot jobs are unaffected. A long-lived session
+looping over MANY dedup calls should either materialize + call
+``spark.catalog.clearCache()`` between iterations, or write the
+intermediate stage out explicitly (the recommended shape at full scale
+anyway — see SCALE.md).
 """
 
 from __future__ import annotations
@@ -40,6 +49,42 @@ def shingle_col(words_col: str, n: int = 3):
         lambda w, i: F.concat_ws(
             " ", *[F.element_at(words_col, i + F.lit(j + 1)) for j in range(n)]
         ),
+    )
+
+
+
+def shingle_hash_frame(
+    df: DataFrame, id_col: str, words_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sh): sorted-distinct xxhash64 shingle-hash array per
+    doc, empty docs dropped — the shared exact-Jaccard substrate for
+    the batch and streaming near-dup paths."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(shingle_col(words_col, shingle_n), lambda x: F.xxhash64(x))
+            )
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
+def jaccard_verify(
+    cands: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exactly verify candidate (doc_a, doc_b) pairs against the
+    shingle frame: |A ∩ B| >= threshold * |A ∪ B| on the sorted hash
+    arrays. Shared by the batch and streaming paths so the predicate
+    can never silently diverge."""
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(inter >= F.lit(threshold) * union)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -343,14 +388,7 @@ def minhash_neardup_pairs(
 
     if n_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
-    shingles = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(shingle_col(words_col, shingle_n), lambda x: F.xxhash64(x))
-            )
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    shingles = shingle_hash_frame(df, id_col, words_col, shingle_n)
     # the shingle arrays feed two consumers (the fused fp+signature
     # Arrow pass, the exact verify) — without a persist Catalyst
     # re-derives this most-expensive expression chain once per consumer
@@ -392,13 +430,7 @@ def minhash_neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    pairs = cands.join(sa, "doc_a").join(sb, "doc_b")
-    # exact verify on sorted hash arrays: |A ∩ B| / |A ∪ B| >= t
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    rep_pairs = pairs.filter(inter >= F.lit(threshold) * union).select("doc_a", "doc_b")
+    rep_pairs = jaccard_verify(cands, shingles, threshold)
     if not expand_exact_dups:
         return rep_pairs
     return _expand_rep_pairs(rep_pairs, members)

@@ -82,10 +82,17 @@ def bloom_antijoin(
     maybe-present fraction is exactly anti-joined."""
     blob = _small_side_bloom(small, small_key, m, k, seed)
     member = membership_udf(large.sparkSession, {"__all": blob})
-    definite_out = large.filter(~member(F.lit("__all"), F.col(large_key)))
-    maybe = large.filter(member(F.lit("__all"), F.col(large_key)))
     keys = small.select(F.col(small_key).alias("__bk")).distinct()
-    verified_out = maybe.join(
-        F.broadcast(keys), maybe[large_key] == F.col("__bk"), "left_anti"
-    )
-    return definite_out.unionByName(verified_out)
+    # ONE scan, ONE membership evaluation per row: a left_anti join
+    # whose condition is (maybe-present AND key match). Definitely-
+    # absent rows never satisfy the condition, so they pass through as
+    # anti-join survivors for free; only maybe-present rows can be
+    # eliminated by the exact broadcast probe. (The previous shape
+    # union'd two filters over `large`, scanning the fact table — and
+    # running the Bloom probe — twice.)
+    tagged = large.withColumn("__maybe", member(F.lit("__all"), F.col(large_key)))
+    return tagged.join(
+        F.broadcast(keys),
+        F.col("__maybe") & (tagged[large_key] == F.col("__bk")),
+        "left_anti",
+    ).drop("__maybe")

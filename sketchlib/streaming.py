@@ -213,6 +213,15 @@ def windowed_sketch_stream(
                 k = live[name]
                 if kind in _NUMERIC_KINDS:
                     if kind == "tdigest" and wcol is not None:
+                        # same contract as the batch path
+                        # (agg.build_partials): a value with a null
+                        # weight (or vice versa) is a data error, not a
+                        # row to silently drop — stream and batch must
+                        # agree on the same input
+                        if (pdf[col].isna() != pdf[wcol].isna()).any():
+                            raise ValueError(
+                                f"weight col {wcol} nulls misaligned with {col}"
+                            )
                         aligned = pdf[[col, wcol]].dropna()
                         k.update(
                             aligned[col].to_numpy(dtype="float64"),
@@ -274,7 +283,12 @@ def neardup_stream_writer(
     """
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    from .dedup import DEFAULT_SEED, _signature_fn, shingle_col
+    from .dedup import (
+        DEFAULT_SEED,
+        _signature_fn,
+        jaccard_verify,
+        shingle_hash_frame,
+    )
 
     if seed is None:
         seed = DEFAULT_SEED
@@ -288,20 +302,9 @@ def neardup_stream_writer(
             return
         spark = batch_df.sparkSession
         bid = int(batch_id)
-        shingles = (
-            batch_df.select(
-                F.col(id_col).alias("doc_id"),
-                F.array_sort(
-                    F.array_distinct(
-                        F.transform(
-                            shingle_col(words_col, shingle_n), lambda x: F.xxhash64(x)
-                        )
-                    )
-                ).alias("sh"),
-            )
-            .filter(F.size("sh") > 0)
-            .persist()
-        )
+        shingles = shingle_hash_frame(
+            batch_df, id_col, words_col, shingle_n
+        ).persist()
         id_type = batch_df.schema[id_col].dataType
         sigs = shingles.mapInArrow(
             _signature_fn(n_hashes, bands, seed),
@@ -315,6 +318,8 @@ def neardup_stream_writer(
         brows = sigs.select(
             "doc_id", F.posexplode("band_keys").alias("band", "key")
         ).persist()
+        from pyspark.errors import AnalysisException
+
         try:
             hist = spark.read.parquet(keys_dir).filter(F.col(_BATCH_COL) != bid).drop(
                 _BATCH_COL
@@ -322,7 +327,10 @@ def neardup_stream_writer(
             hist_sh = spark.read.parquet(sh_dir).filter(F.col(_BATCH_COL) != bid).drop(
                 _BATCH_COL
             )
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: store path doesn't exist yet
+            # ONLY path-not-found qualifies — any other read failure must
+            # propagate, or this batch would silently match against an
+            # empty history and permanently miss cross-batch pairs
             hist = spark.createDataFrame([], brows.schema)
             hist_sh = spark.createDataFrame([], shingles.schema)
         allrows = hist.unionByName(brows)
@@ -351,17 +359,7 @@ def neardup_stream_writer(
             )
             .distinct()
         )
-        all_sh = hist_sh.unionByName(shingles)
-        sa = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-        sb = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        pairs = (
-            cands.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .filter(inter >= F.lit(threshold) * union)
-            .select("doc_a", "doc_b")
-        )
+        pairs = jaccard_verify(cands, hist_sh.unionByName(shingles), threshold)
         for df, path in (
             (pairs, pairs_path),
             (brows, keys_dir),
