@@ -109,3 +109,20 @@ def test_pq_topk_recall(spark, emb):
     assert recall >= 0.8, recall
     # determinism: same seed, same codebooks
     assert (books == pq_train(emb, dim=DIM, m=8, k_cent=16, seed=3)).all()
+
+
+def test_neardup_tiles_string_ids(spark):
+    """Regression: the per-bucket/blocked BLAS tiles must handle
+    non-numeric id columns (object-dtype arrays broke np.unique)."""
+    from sketchlib.ann import cosine_neardup_pairs_blocked, srp_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(DIM)
+    rows = [(f"v{i:03d}", [float(x) for x in base + rng.standard_normal(DIM) * 0.05])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    exact = {tuple(r) for r in cosine_neardup_pairs_blocked(emb, 0.95).collect()}
+    lsh = {tuple(r) for r in
+           srp_neardup_pairs(emb, 0.95, dim=DIM, n_bits=2, n_tables=8, seed=5).collect()}
+    assert exact  # the cluster guarantees near-dup pairs exist
+    assert lsh == exact
