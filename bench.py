@@ -269,6 +269,11 @@ def main() -> None:
         # exactly what min-over-separated-windows defends against
         while eff() < 0.85 and samples[high] < 6 and remaining() > 95:
             sample(high)
+        # efficiency > 1 is physically implausible (superlinear scaling)
+        # and means the LOW leg absorbed a load burst: resample it so
+        # min-over-windows pulls wall_low back down to the true value
+        while eff() > 1.05 and samples[low] < 3 and remaining() > 95:
+            sample(low)
         if eff() < 0.85 and samples[low] < 3 and remaining() > 95 + walls[low] * 1.2:
             sample(low)
             while eff() < 0.85 and samples[high] < 9 and remaining() > 95:
