@@ -224,6 +224,24 @@ def q_bloom_semijoin_building(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
 
 
+def q_bloom_antijoin_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated ANTI join (the blocklist pattern: exclude rows
+    whose key is in a known set): lineitems whose part is NOT in the
+    large-size part set, via joins.bloom_antijoin — one scan, one Bloom
+    evaluation per row, definite-absents pass through with no shuffle,
+    maybe-presents exactly verified against the broadcast keys. Result
+    is exactly the plain left_anti join; oracle is the NOT EXISTS SQL."""
+    from sketchlib.joins import bloom_antijoin
+
+    li = _t(spark, sf_dir, "lineitem")
+    small = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 26)
+    out = bloom_antijoin(li, "l_partkey", small, "p_partkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
+
+
 def q_tdigest_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest per l_returnflag: exact moments from the digest (count
     exact, min/max exact — tdigest.rs:1355-1361) + quantile tolerance."""
@@ -1594,6 +1612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_interface": q_sql_interface,
     "streaming_neardup": q_streaming_neardup,
     "pq_topk_recall": q_pq_topk_recall,
+    "bloom_antijoin_blocklist": q_bloom_antijoin_blocklist,
 }
 
 
@@ -1910,6 +1929,17 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "bloom_antijoin_blocklist": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem l
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part p
+                WHERE p.p_size >= 26 AND p.p_partkey = l.l_partkey
+            )
+            GROUP BY l_returnflag
         """,
         "streaming_neardup": """
             WITH sh AS (
