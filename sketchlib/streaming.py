@@ -386,3 +386,14 @@ def neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All verified near-dup pairs found by the stream so far. Unique by
     construction (each pair lands in exactly one batch partition)."""
     return spark.read.parquet(pairs_path).select("doc_a", "doc_b")
+
+
+def neardup_clusters(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """Periodic maintenance for a near-dup stream: fold everything the
+    stream has emitted so far into duplicate-cluster labels (node ->
+    component min) via :func:`sketchlib.dedup.connected_components`.
+    Run between micro-batches or on a schedule — the input is the pair
+    store (the answer's own size), never the corpus."""
+    from .dedup import connected_components
+
+    return connected_components(neardup_pairs(spark, pairs_path), "doc_a", "doc_b")

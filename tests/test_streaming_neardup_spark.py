@@ -9,7 +9,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from sketchlib.dedup import minhash_neardup_pairs
-from sketchlib.streaming import neardup_pairs, neardup_stream_writer
+from sketchlib.streaming import neardup_clusters, neardup_pairs, neardup_stream_writer
 
 
 def _docs(spark, n=300, dup_every=7):
@@ -70,5 +70,41 @@ def test_stream_equals_batch_neardup(spark):
             .count()
         )
         assert dup == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_clusters_match_batch(spark):
+    docs = _docs(spark, n=120)
+    root = tempfile.mkdtemp(prefix="sk_neardup_cc_")
+    try:
+        src = os.path.join(root, "src")
+        docs.repartition(3).write.parquet(src)
+        stream_df = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            neardup_stream_writer(
+                stream_df, "doc_id", "words",
+                os.path.join(root, "store"), os.path.join(root, "pairs"),
+                os.path.join(root, "ckpt"), threshold=0.5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        from sketchlib.dedup import connected_components, minhash_neardup_pairs
+        streamed = {
+            (r.node, r.component)
+            for r in neardup_clusters(spark, os.path.join(root, "pairs")).collect()
+        }
+        batch_pairs = minhash_neardup_pairs(docs, "doc_id", "words", threshold=0.5)
+        batch = {
+            (r.node, r.component)
+            for r in connected_components(batch_pairs).collect()
+        }
+        assert streamed == batch and streamed
     finally:
         shutil.rmtree(root, ignore_errors=True)
