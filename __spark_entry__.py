@@ -954,6 +954,79 @@ def q_streaming_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability, driver-checked: a run killed after
+    finishing only input partitions {0,1,2} resumes from the lineage
+    checkpoint (sketchlib.checkpoint) and merges to states
+    BYTE-IDENTICAL to an uninterrupted run (deterministic hashing +
+    associative/commutative merges). Output per event_type: exact
+    distinct users, the byte-equality boolean, the published-bound
+    boolean, and a lineage boolean (every partition checkpointed
+    exactly once)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.agg import build_partials, merge_partials
+    from sketchlib.checkpoint import checkpointed_sketch_aggregate, lineage_summary
+
+    spec = [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})]
+    ev = _t(spark, sf_dir, "events").repartition(8)
+    root = tempfile.mkdtemp(prefix="sketchlib_ckpt_q_")
+    try:
+        ckpt = os.path.join(root, "ckpt")
+        fp = "events@v1"
+        ref = {
+            r["event_type"]: bytes(r["state"])
+            for r in merge_partials(
+                build_partials(ev, ["event_type"], spec), ["event_type"], 4
+            ).collect()
+        }
+        half = (
+            build_partials(ev, ["event_type"], spec)
+            .filter(F.col("part_id") < 3)
+            .withColumn("fingerprint", F.lit(fp))
+            .withColumn("updated_at", F.current_timestamp())
+        )
+        half.write.mode("overwrite").parquet(ckpt)
+        resumed = {
+            r["event_type"]: bytes(r["state"])
+            for r in checkpointed_sketch_aggregate(
+                ev, ["event_type"], spec, ckpt, fp, fanout=4
+            ).collect()
+        }
+        summary = lineage_summary(spark, ckpt).collect()[0]
+        lineage_ok = bool(summary["partitions_done"] == 8)
+        dup_parts = (
+            spark.read.parquet(ckpt)
+            .groupBy("event_type", "sketch", "part_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        lineage_ok = lineage_ok and dup_parts == 0
+        exact = {
+            r[0]: int(r[1])
+            for r in _t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id"))
+            .collect()
+        }
+        rows = []
+        for et in sorted(exact):
+            est = HLL.from_bytes(resumed[et]).count() if et in resumed else -1
+            ok = abs(est - exact[et]) <= max(HLL_SLACK * exact[et], 3.0)
+            rows.append(
+                (et, exact[et], resumed.get(et) == ref.get(et), bool(ok), lineage_ok)
+            )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, distinct_users long, resume_matches_direct boolean,"
+            " hll_ok boolean, lineage_ok boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection as a stream: documents replayed as
     4 file micro-batches; each batch's docs are banded and matched
@@ -1621,6 +1694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_neardup": q_streaming_neardup,
     "pq_topk_recall": q_pq_topk_recall,
     "bloom_antijoin_blocklist": q_bloom_antijoin_blocklist,
+    "checkpoint_resume": q_checkpoint_resume,
 }
 
 
@@ -1937,6 +2011,14 @@ def oracle_sql() -> dict[str, str]:
                 ('hll_p14_accessors', CAST(16384 AS BIGINT), CAST(14 AS BIGINT)),
                 ('hll_clear_lifecycle', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(structure, size_param, hash_param)
+        """,
+        "checkpoint_resume": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   TRUE AS resume_matches_direct,
+                   TRUE AS hll_ok,
+                   TRUE AS lineage_ok
+            FROM events GROUP BY event_type
         """,
         "bloom_antijoin_blocklist": """
             SELECT l_returnflag,
