@@ -214,7 +214,7 @@ def main() -> None:
     # the per-query timings must always make it into the JSON: reserve
     # their slice of the budget from the scaling/peak retries (the full
     # query pass measures ~115-140 s at sf0.1 on this host)
-    reserve = 215.0 if do_queries else 0.0
+    reserve = 200.0 if do_queries else 0.0
 
     def raw_remaining() -> float:
         return deadline - (time.time() - t_start)
@@ -267,7 +267,9 @@ def main() -> None:
         # subprocess timeout bounds it); keep retrying into fresh time
         # windows while there is budget — sustained co-tenant load is
         # exactly what min-over-separated-windows defends against
-        while eff() < 0.85 and samples[high] < 6 and remaining() > 95:
+        while eff() < 0.85 and samples[high] < 6 and remaining() > (
+            95 if samples[high] < 3 else 75
+        ):
             sample(high)
         # efficiency > 1 is physically implausible (superlinear scaling)
         # and means the LOW leg absorbed a load burst: resample it so
