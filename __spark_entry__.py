@@ -1237,14 +1237,17 @@ def q_lang_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet yields < 300 possible 3-grams, so the top-300 profile holds
     ALL of them) — fit-then-classify is exactly 100% accurate and the
     oracle is closed-form. Profile fitting is one distributed agg
-    (window top-N per lang before the collect; textops.py)."""
-    from sketchlib.textops import fit_language_profiles, lang_id_udf, synth_lang_corpus
+    (window top-N per lang before the collect; textops.py); the
+    classifier is the pure-JVM engine path (lang_id_classify: explode →
+    broadcast profile join → grouped dot product → min_by argmax — no
+    Python in the plan, contract-tested)."""
+    from sketchlib.textops import fit_language_profiles, lang_id_classify, synth_lang_corpus
 
     _ensure_workers(spark)
     n, langs = 300, 3
     corpus = synth_lang_corpus(spark, n, langs=langs, partitions=4).persist()
     profiles = fit_language_profiles(corpus, "text", "lang")
-    pred = corpus.withColumn("pred", lang_id_udf(spark, profiles)(F.col("text")))
+    pred = corpus.join(lang_id_classify(corpus, "doc_id", "text", profiles), "doc_id")
     return pred.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("pred") == F.col("lang")).cast("long")).alias("n_correct"),

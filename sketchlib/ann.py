@@ -220,12 +220,12 @@ def cosine_neardup_pairs_blocked(
         if not len(a) or not len(b):
             return pd.DataFrame({"id_a": [], "id_b": []})
         ma = np.stack(a["v"].to_numpy()).astype(np.float64)
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        ma = ma / np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
         if diag:
             mb = ma
         else:
             mb = np.stack(b["v"].to_numpy()).astype(np.float64)
-            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            mb = mb / np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
         sims = ma @ mb.T
         ia, ib = np.nonzero(sims >= threshold)
         ids_a = a["vid"].to_numpy()[ia]
@@ -294,7 +294,9 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
         m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # epsilon guard: an all-zero embedding would otherwise turn its
+        # row into NaN and silently drop its pairs (NaN >= t is False)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ m.T
         ia, ib = np.nonzero(sims >= threshold)
         ids = pdf["vid"].to_numpy()
@@ -354,13 +356,20 @@ def ivf_centroids(
     for _ in range(iters):
         sims = mat @ cents.T
         assign = sims.argmax(axis=1)
+        dead = []
         for c in range(n_lists):
             members = mat[assign == c]
             if len(members):
                 v = members.sum(axis=0)
                 cents[c] = v / max(np.linalg.norm(v), 1e-12)
-            else:  # dead list: reseed from the worst-served vector
-                cents[c] = mat[sims.max(axis=1).argmin()]
+            else:
+                dead.append(c)
+        if dead:
+            # distinct worst-served vectors (ascending best-sim order),
+            # one per dead list — see pq_train for the rationale
+            worst = np.argsort(sims.max(axis=1))[: len(dead)]
+            for c, p in zip(dead, worst):
+                cents[c] = mat[p]
     return cents
 
 
@@ -493,12 +502,21 @@ def pq_train(
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            dead = []
             for c in range(k_cent):
                 members = sub[assign == c]
                 if len(members):
                     cents[c] = members.mean(axis=0)
-                else:  # dead centroid: reseed from the worst-served point
-                    cents[c] = sub[d2.min(axis=1).argmax()]
+                else:
+                    dead.append(c)
+            if dead:
+                # reseed each dead centroid from a DISTINCT worst-served
+                # point (descending min-distance order) — reusing one
+                # stale argmax for every dead centroid would collapse
+                # them onto a single duplicated codebook entry
+                worst = np.argsort(-d2.min(axis=1))[: len(dead)]
+                for c, p in zip(dead, worst):
+                    cents[c] = sub[p]
         books[mi] = cents
     return books
 

@@ -3,13 +3,14 @@
 - :func:`token_count_col` — BPE-ish regex tokenization count, pure JVM
   expression (regexp_extract_all), matching DuckDB's regexp semantics so
   it is oracle-checkable.
-- :func:`fit_language_profiles` / :func:`lang_id_udf` — character
+- :func:`fit_language_profiles` / :func:`lang_id_classify` — character
   n-gram language identification (Cavnar-Trenkle style): profiles are
-  learned with one distributed aggregation over a labeled sample, then
-  broadcast; classification is a vectorized pandas UDF scoring cosine
-  overlap against each profile. (On the driver's synthetic corpus every
-  language shares one vocabulary, so accuracy there is chance — the
-  pytest fixture plants genuinely distinct languages instead.)
+  learned with one distributed aggregation over a labeled sample;
+  classification is pure JVM expressions (explode n-grams →
+  broadcast-join the profile table → grouped dot product → min_by
+  argmax — the cosine argmax is norm-invariant, so no per-doc norm is
+  needed). :func:`lang_id_udf` is the ad-hoc column-expression
+  convenience wrapper.
 - :func:`winnow_fingerprints` — MOSS-style winnowing document
   fingerprints (Schleimer-Wilkerson-Aiken): rolling polynomial hash of
   k-gram word windows, keep each window's minimum — fully vectorized
@@ -101,32 +102,107 @@ def fit_language_profiles(
     return profiles
 
 
+def lang_id_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, dict[str, float]],
+    n: int = 3,
+) -> DataFrame:
+    """ENGINE-PATH classifier: (id, pred) for every input row, computed
+    entirely with JVM expressions — no Python in the plan.
+
+    The cosine argmax is norm-invariant (the doc's own n-gram norm is a
+    per-doc constant across languages), so classification reduces to
+    ``argmax_lang Σ_g count(doc, g) · profile(lang, g)``: explode char
+    n-grams (same extraction as :func:`fit_language_profiles`),
+    broadcast-join the tiny (lang, gram, weight) profile table, one
+    grouped sum per (doc, lang), then ``min_by`` over
+    ``(-score, lang)`` for a deterministic argmax (ties and
+    no-gram-overlap docs fall to the alphabetically-first language —
+    same contract as :func:`lang_id_udf`).
+
+    Scale shape: raw text never shuffles; only the (doc, matched-gram)
+    rows produced by the broadcast join reach the grouped sum, which is
+    partial-aggregated map-side. Precondition: ``id_col`` is unique per
+    row (it is the join-back key).
+    """
+    spark = df.sparkSession
+    langs = sorted(profiles)
+    prof_rows = [
+        (lang, g, float(w)) for lang in langs for g, w in profiles[lang].items()
+    ]
+    prof_df = spark.createDataFrame(prof_rows, "lang string, g string, w double")
+    lowered = df.select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("t"))
+    grams = lowered.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - (n - 1), F.lit(1))),
+                lambda i: F.col("t").substr(i, F.lit(n)),
+            )
+        ).alias("g"),
+    ).filter(F.length("g") == n)
+    scored = (
+        grams.join(F.broadcast(prof_df), "g")
+        .groupBy("__id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    best = scored.groupBy("__id").agg(
+        F.min_by("lang", F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias(
+            "pred"
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(best, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("pred", F.lit(langs[0])).alias("pred"),
+        )
+    )
+
+
 def lang_id_udf(spark, profiles: dict[str, dict[str, float]], n: int = 3):
-    """Vectorized classifier: cosine score of a doc's n-gram counts
-    against each broadcast profile; returns the argmax language."""
-    bc = spark.sparkContext.broadcast(profiles)
+    """Convenience scalar classifier for ad-hoc use (a column expression
+    with no join-back key needed). The ENGINE path is
+    :func:`lang_id_classify` — pure JVM expressions; prefer it in
+    pipelines. Scoring here is one BLAS matvec per doc against a shared
+    (vocab, lang) weight matrix (not a per-language Python loop); gram
+    extraction is the only per-row work."""
+    langs = sorted(profiles)
+    vocab: dict[str, int] = {}
+    for lang in langs:
+        for g in profiles[lang]:
+            vocab.setdefault(g, len(vocab))
+    W = np.zeros((len(vocab), len(langs)), dtype=np.float64)
+    for li, lang in enumerate(langs):
+        for g, w in profiles[lang].items():
+            W[vocab[g], li] = w
+    bc = spark.sparkContext.broadcast((vocab, W, langs))
 
     @F.pandas_udf(StringType())
     def _classify(text):
-        import collections
-
         import pandas as pd
 
-        profs = bc.value
-        langs = sorted(profs)
+        vocab, W, langs = bc.value
+        V = W.shape[0]
         out = []
         for t in text:
-            c: collections.Counter = collections.Counter()
-            t2 = f" {str(t).lower()} "
-            c.update(t2[i : i + n] for i in range(len(t2) - n + 1))
-            norm = np.sqrt(sum(v * v for v in c.values())) or 1.0
-            best, best_s = langs[0], -1.0
-            for lang in langs:
-                p = profs[lang]
-                s = sum(v * p.get(g, 0.0) for g, v in c.items()) / norm
-                if s > best_s:
-                    best, best_s = lang, s
-            out.append(best)
+            t2 = str(t).lower()
+            idx = [
+                vocab[g]
+                for g in (t2[i : i + n] for i in range(max(len(t2) - n + 1, 0)))
+                if g in vocab
+            ]
+            if not idx:
+                out.append(langs[0])
+                continue
+            counts = np.bincount(np.asarray(idx, dtype=np.int64), minlength=V)
+            scores = counts @ W
+            # ties fall to the alphabetically-first language (langs is
+            # sorted and argmax returns the first maximal index)
+            out.append(langs[int(scores.argmax())])
         return pd.Series(out)
 
     return _classify

@@ -8,6 +8,7 @@ from sketchlib.media import byte_histogram_features, decode_image_meta, frame_sa
 from sketchlib.textops import (
     BPE_ISH_PATTERN,
     fit_language_profiles,
+    lang_id_classify,
     lang_id_udf,
     token_count_col,
     winnow_fingerprints,
@@ -37,6 +38,37 @@ class TestLangId:
         pred = corpus.withColumn("pred", clf("text"))
         acc = pred.filter(F.col("pred") == F.col("lang")).count() / corpus.count()
         assert acc >= 0.95, acc
+
+    def test_classify_dataframe_path(self, spark, corpus):
+        ided = corpus.withColumn("doc_id", F.monotonically_increasing_id()).cache()
+        profiles = fit_language_profiles(ided, "text", "lang", n=3, top=100)
+        out = lang_id_classify(ided, "doc_id", "text", profiles, n=3)
+        joined = ided.join(out, "doc_id")
+        n = ided.count()
+        assert out.count() == n  # one prediction per input row
+        acc = joined.filter(F.col("pred") == F.col("lang")).count() / n
+        assert acc >= 0.95, acc
+        # agrees with the scalar-UDF convenience path row-for-row
+        udf_pred = ided.withColumn("updf", lang_id_udf(spark, profiles, n=3)("text"))
+        both = udf_pred.join(out, "doc_id")
+        assert both.filter(F.col("pred") != F.col("updf")).count() == 0
+
+    def test_classify_plan_has_no_python(self, spark, corpus):
+        # the engine path must be whole-JVM: no Arrow/Batch Python eval,
+        # no cartesian product, and the profile join must broadcast
+        ided = corpus.withColumn("doc_id", F.monotonically_increasing_id())
+        profiles = fit_language_profiles(ided, "text", "lang", n=3, top=100)
+        out = lang_id_classify(ided, "doc_id", "text", profiles, n=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan
+        assert "Cartesian" not in plan.replace("CartesianRDD", ""), plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_classify_no_gram_overlap_falls_to_first_lang(self, spark):
+        df = spark.createDataFrame([(1, "qqqq www"), (2, "")], "doc_id long, text string")
+        profiles = {"bb": {"aaa": 1.0}, "aa": {"zzz": 1.0}}
+        got = {r.doc_id: r.pred for r in lang_id_classify(df, "doc_id", "text", profiles).collect()}
+        assert got == {1: "aa", 2: "aa"}  # alphabetically-first language
 
 
 class TestTokenCount:
