@@ -253,6 +253,65 @@ def windowed_sketch_stream(
 # ---------------------------------------------------------------------------
 
 
+_BUCKET_COL = "__bkt"
+
+
+def _hdfs_path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FileSystem API
+    (works for local, HDFS, and object stores alike). Used instead of
+    catching AnalysisException on read: path-not-found is the ONLY
+    condition that may fall back to an empty history — any other
+    analysis failure (corrupt store, schema drift) must propagate."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _read_store(
+    spark: SparkSession,
+    path: str,
+    data_schema,
+    exclude_batch: int,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Partition-pruned read of a bucket-partitioned store directory.
+
+    The schema is passed explicitly (data columns + the two partition
+    columns) so planning never opens a parquet footer — combined with
+    the ``bucket IN (...)`` partition filter, files under untouched
+    buckets are NEVER opened (driver-verifiable: a corrupt file in a
+    pruned bucket does not fail the read — tested)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    full = StructType(
+        [
+            *data_schema.fields,
+            StructField(_BATCH_COL, IntegerType(), True),
+            StructField(_BUCKET_COL, IntegerType(), True),
+        ]
+    )
+    df = spark.read.schema(full).parquet(path).filter(F.col(_BATCH_COL) != exclude_batch)
+    if buckets is not None:
+        df = df.filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
+    return df.drop(_BATCH_COL, _BUCKET_COL)
+
+
+def _write_bucketed(df: DataFrame, path: str, bid: int, bucket_expr) -> None:
+    """Dynamic-overwrite append of one micro-batch's rows, partitioned
+    by (batch_id, bucket): a foreachBatch replay rewrites exactly its
+    own leaf partitions (deterministic content → deterministic
+    partition set), preserving exactly-once."""
+    (
+        df.withColumn(_BUCKET_COL, bucket_expr.cast("int"))
+        .withColumn(_BATCH_COL, F.lit(int(bid)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_BATCH_COL, _BUCKET_COL)
+        .parquet(path)
+    )
+
+
 def neardup_stream_writer(
     stream_df: DataFrame,
     id_col: str,
@@ -266,22 +325,48 @@ def neardup_stream_writer(
     bands: int = 32,
     seed: int | None = None,
     bucket_cap: int | None = 4096,
+    n_buckets: int = 64,
 ):
     """Incremental near-dup detection: every micro-batch's docs are
-    MinHash-banded and matched against ALL previously seen docs via the
+    MinHash-banded and matched against all previously seen docs via the
     accumulated (doc_id, band, key) store, candidates exactly verified
     (shingle-set Jaccard >= threshold), and each verified pair emitted
-    EXACTLY ONCE — in the partition of its later-arriving member (both
+    EXACTLY ONCE — in the partition of its later-arriving member (all
     writes are batch_id-partitioned dynamic overwrites, so foreachBatch
     replays rewrite their own partitions instead of double-emitting).
 
-    Store growth is the banded corpus itself: (doc_id, band, key) int
-    rows plus one sorted shingle-hash array per doc — the same
-    artifacts the batch path shuffles, persisted instead. Hot buckets
-    are capped on the UNION of history and batch, so a degenerate key
-    stops producing candidates once it exceeds ``bucket_cap``.
+    Scale layout — per-batch work is bounded by the batch, not the
+    corpus:
+
+    - ``keys/`` is partitioned by ``pmod(key, n_buckets)``; a batch
+      reads ONLY the buckets its own keys hash to (partition-pruned —
+      files in untouched buckets are never opened).
+    - ``counts/`` holds per-batch (band, key, n) COUNT DELTAS in the
+      same bucket layout; hot-key detection sums deltas for the touched
+      buckets instead of recounting the whole key store. Keys whose
+      cumulative count exceeds ``bucket_cap`` stop producing candidates.
+    - ``shingles/`` is partitioned by ``pmod(xxhash64(doc_id),
+      n_buckets)``; exact verification reads only the buckets that hold
+      a candidate's historical counterpart.
+    - long-running streams fold the per-batch partitions together with
+      :func:`neardup_compact` (same maintenance contract as
+      :func:`compact` for sketch states).
+
+    Re-ingest guard: a ``doc_id`` that already exists in the store is
+    dropped from the batch (its pairs were emitted when first seen), so
+    the store stays unique by doc_id and replayed *sources* cannot
+    duplicate pairs. Precondition: a doc_id identifies immutable
+    content — re-ingesting DIFFERENT words under an id that was seen
+    with other content is undefined (the guard only sees history in the
+    buckets the new signature touches).
     """
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     from .dedup import (
         DEFAULT_SEED,
@@ -296,6 +381,7 @@ def neardup_stream_writer(
         raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
     keys_dir = os.path.join(store_path, "keys")
     sh_dir = os.path.join(store_path, "shingles")
+    cnt_dir = os.path.join(store_path, "counts")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -318,34 +404,52 @@ def neardup_stream_writer(
         brows = sigs.select(
             "doc_id", F.posexplode("band_keys").alias("band", "key")
         ).persist()
-        from pyspark.errors import AnalysisException
-
-        try:
-            hist = spark.read.parquet(keys_dir).filter(F.col(_BATCH_COL) != bid).drop(
-                _BATCH_COL
-            )
-            hist_sh = spark.read.parquet(sh_dir).filter(F.col(_BATCH_COL) != bid).drop(
-                _BATCH_COL
-            )
-        except AnalysisException:  # first batch: store path doesn't exist yet
-            # ONLY path-not-found qualifies — any other read failure must
-            # propagate, or this batch would silently match against an
-            # empty history and permanently miss cross-batch pairs
+        key_bucket = F.pmod(F.col("key"), F.lit(n_buckets))
+        doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+        cnt_schema = StructType(
+            [
+                StructField("band", IntegerType(), False),
+                StructField("key", LongType(), False),
+                StructField("n", LongType(), False),
+            ]
+        )
+        has_history = _hdfs_path_exists(spark, keys_dir)
+        if has_history:
+            # the batch's keys determine which store buckets can possibly
+            # match: collect that (<= n_buckets ints) and prune the read
+            touched = [
+                r[0]
+                for r in brows.select(key_bucket.cast("int").alias("b")).distinct().collect()
+            ]
+            hist = _read_store(spark, keys_dir, brows.schema, bid, touched).persist()
+            hist_cnt = _read_store(spark, cnt_dir, cnt_schema, bid, touched)
+        else:  # first batch: nothing seen yet
             hist = spark.createDataFrame([], brows.schema)
-            hist_sh = spark.createDataFrame([], shingles.schema)
-        allrows = hist.unionByName(brows)
+            hist_cnt = spark.createDataFrame([], cnt_schema)
+        # re-ingest guard: identical content re-ingested under a seen
+        # doc_id hashes to the same (band, key) rows, so its history is
+        # fully inside the touched buckets — drop it from the batch
+        seen = hist.select("doc_id").distinct()
+        brows_new = brows.join(seen, "doc_id", "left_anti").persist()
+        shingles_new = shingles.join(seen, "doc_id", "left_anti").persist()
+        delta = brows_new.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
         if bucket_cap is not None:
+            # cumulative per-key counts = prior deltas (touched buckets
+            # only) + this batch's delta — never a recount of the store
             hot = (
-                allrows.groupBy("band", "key")
-                .agg(F.count(F.lit(1)).alias("__n"))
+                hist_cnt.unionByName(delta)
+                .groupBy("band", "key")
+                .agg(F.sum("n").alias("__n"))
                 .filter(F.col("__n") > bucket_cap)
                 .select("band", "key")
             )
-            allrows = allrows.join(F.broadcast(hot), ["band", "key"], "left_anti")
-            brows_c = brows.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            hist_f = hist.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            brows_c = brows_new.join(F.broadcast(hot), ["band", "key"], "left_anti")
         else:
-            brows_c = brows
-        x, y = brows_c.alias("x"), allrows.alias("y")
+            hist_f = hist
+            brows_c = brows_new
+        x = brows_c.alias("x")
+        y = hist_f.unionByName(brows_c).alias("y")
         cands = (
             x.join(
                 y,
@@ -358,22 +462,47 @@ def neardup_stream_writer(
                 F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
             )
             .distinct()
+            .persist()
         )
-        pairs = jaccard_verify(cands, hist_sh.unionByName(shingles), threshold)
-        for df, path in (
-            (pairs, pairs_path),
-            (brows, keys_dir),
-            (shingles, sh_dir),
-        ):
-            (
-                df.withColumn(_BATCH_COL, F.lit(bid))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(_BATCH_COL)
-                .parquet(path)
+        # exact verification needs shingles only for the candidates'
+        # historical members: prune the shingle store to their buckets,
+        # then semi-join down to exactly those docs
+        persisted = [shingles, brows, brows_new, shingles_new, cands, hist]
+        if has_history:  # keys/ and shingles/ are written together
+            cand_ids = (
+                cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+                .persist()
             )
-        shingles.unpersist()
-        brows.unpersist()
+            persisted.append(cand_ids)
+            cand_buckets = [
+                r[0]
+                for r in cand_ids.select(doc_bucket.cast("int").alias("b"))
+                .distinct()
+                .collect()
+            ]
+            hist_sh = _read_store(
+                spark, sh_dir, shingles.schema, bid, cand_buckets
+            ).join(cand_ids, "doc_id", "left_semi")
+        else:
+            hist_sh = spark.createDataFrame([], shingles.schema)
+        pairs = jaccard_verify(cands, hist_sh.unionByName(shingles_new), threshold)
+        (
+            pairs.withColumn(_BATCH_COL, F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BATCH_COL)
+            .parquet(pairs_path)
+        )
+        _write_bucketed(brows_new, keys_dir, bid, key_bucket)
+        _write_bucketed(delta, cnt_dir, bid, key_bucket)
+        _write_bucketed(shingles_new, sh_dir, bid, doc_bucket)
+        for df in persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -382,9 +511,39 @@ def neardup_stream_writer(
     )
 
 
+def neardup_compact(
+    spark: SparkSession, store_path: str, compact_path: str, n_buckets: int = 64
+) -> None:
+    """Fold a near-dup stream's per-batch store partitions into a single
+    ``batch_id=-1`` generation per bucket: key and shingle rows are
+    rewritten as-is, count DELTAS are summed into one row per (band,
+    key). Run between micro-batches or on a schedule; callers swap
+    ``compact_path`` in atomically (same contract as :func:`compact`)."""
+    for sub, agg in (("keys", None), ("shingles", None), ("counts", "sum")):
+        src = os.path.join(store_path, sub)
+        if not _hdfs_path_exists(spark, src):
+            continue
+        df = spark.read.parquet(src)
+        if agg == "sum":
+            df = (
+                df.groupBy("band", "key", _BUCKET_COL)
+                .agg(F.sum("n").alias("n"))
+                .select("band", "key", "n", _BUCKET_COL)
+            )
+        else:
+            df = df.drop(_BATCH_COL)
+        (
+            df.withColumn(_BATCH_COL, F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy(_BATCH_COL, _BUCKET_COL)
+            .parquet(os.path.join(compact_path, sub))
+        )
+
+
 def neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All verified near-dup pairs found by the stream so far. Unique by
-    construction (each pair lands in exactly one batch partition)."""
+    construction (each pair lands in exactly one batch partition, and
+    re-ingested doc_ids are dropped before matching)."""
     return spark.read.parquet(pairs_path).select("doc_a", "doc_b")
 
 
