@@ -42,6 +42,10 @@ from sketchlib.tdigest import TDigest
 from sketchlib.topk import topk_exact_rescore
 
 SEED = 42
+# lifecycle-certificate sample bound: driver-side key collects in the
+# cuckoo/quotient queries take at most this many keys (distributed
+# top-N), so the certificates stay O(1) in table size
+CERT_CAP = 4096
 HLL_P = 14
 HLL_SLACK = 4 * 1.04 / math.sqrt(2**HLL_P)  # 4 sigma of the published bound
 
@@ -526,22 +530,21 @@ def q_srp_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify, no all-pairs anywhere): reports the exact pair count and
     whether LSH recall vs the exact kernel meets the 0.8 target
     (measured 1.0 at sf0.001/0.01/0.1 with 24 tables x 3 bits;
-    deterministic seed). Precision is 1.0 by construction."""
+    deterministic seed). Precision is 1.0 by construction. The
+    certificate itself is 100x-safe: recall is two distributed counts
+    (exact count + semi-join hit count) — no pair set ever reaches the
+    driver."""
     from sketchlib.ann import cosine_neardup_pairs_blocked, srp_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    exact = {
-        tuple(r) for r in cosine_neardup_pairs_blocked(emb, 0.45).collect()
-    }
-    lsh = {
-        tuple(r)
-        for r in srp_neardup_pairs(
-            emb, 0.45, dim=64, n_bits=3, n_tables=24, seed=SEED
-        ).collect()
-    }
-    recall = (len(exact & lsh) / len(exact)) if exact else 1.0
+    exact = cosine_neardup_pairs_blocked(emb, 0.45).persist()
+    lsh = srp_neardup_pairs(emb, 0.45, dim=64, n_bits=3, n_tables=24, seed=SEED)
+    n_exact = exact.count()
+    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").count()
+    exact.unpersist()
+    recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
-        [(len(exact), bool(recall >= 0.8))], "n_exact_pairs long, recall_ok boolean"
+        [(n_exact, bool(recall >= 0.8))], "n_exact_pairs long, recall_ok boolean"
     )
 
 
@@ -562,18 +565,16 @@ def q_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    exact = {
-        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()
-    }
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in ivf_topk(
-            emb, q, k=10, dim=64, n_lists=16, nprobe=12, seed=SEED
-        ).collect()
-    }
-    recall = (len(exact & approx) / len(exact)) if exact else 1.0
+    exact = cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").persist()
+    approx = ivf_topk(emb, q, k=10, dim=64, n_lists=16, nprobe=12, seed=SEED).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    exact.unpersist()
+    recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
-        [(len(exact), bool(recall >= 0.8))], "n_exact long, recall_ok boolean"
+        [(n_exact, bool(recall >= 0.8))], "n_exact long, recall_ok boolean"
     )
 
 
@@ -593,15 +594,15 @@ def q_pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()}
+    exact = cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").persist()
     books = pq_train(emb, dim=64, m=8, k_cent=64, seed=SEED)
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in pq_topk(emb, q, books, k=10, rerank=150).collect()
-    }
-    recall = (len(exact & approx) / len(exact)) if exact else 1.0
+    approx = pq_topk(emb, q, books, k=10, rerank=150).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    exact.unpersist()
+    recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
-        [(len(exact), bool(recall >= 0.8))], "n_exact long, recall_ok boolean"
+        [(n_exact, bool(recall >= 0.8))], "n_exact long, recall_ok boolean"
     )
 
 
@@ -799,13 +800,19 @@ def q_cuckoo_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:356-368), and the remaining keys still query true (each delete
     removes exactly one stored fingerprint copy, so survivors keep >= 1).
     Every output value is deterministic and oracle-computable from
-    COUNT(DISTINCT c_custkey)."""
+    COUNT(DISTINCT c_custkey). The key collect is BOUNDED: the
+    certificate takes the CERT_CAP smallest distinct keys (a distributed
+    top-N, O(1) driver memory at any table size); the oracle applies
+    LEAST(n, cap) identically."""
     import numpy as np
 
     from sketchlib.cuckoo import CuckooFilter
 
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    keys = sorted(r[0] for r in cust.select("c_custkey").distinct().collect())
+    keys = [
+        r[0]
+        for r in cust.select("c_custkey").distinct().sort("c_custkey").limit(CERT_CAP).collect()
+    ]
     arr = np.asarray(keys, dtype=np.int64)
     n = int(arr.size)
     half = n // 2
@@ -844,13 +851,17 @@ def q_quotient_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = 64 - q so the fingerprint keeps all 64 hash bits — len after
     insert is exactly n, zero false negatives, and 256 absent probes
     yield zero false positives (a fp would need an exact 64-bit hash
-    collision)."""
+    collision). Key collect bounded at CERT_CAP smallest distinct keys
+    (distributed top-N; see q_cuckoo_filter_ops)."""
     import numpy as np
 
     from sketchlib.quotient import QuotientFilter
 
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    keys = sorted(r[0] for r in cust.select("c_custkey").distinct().collect())
+    keys = [
+        r[0]
+        for r in cust.select("c_custkey").distinct().sort("c_custkey").limit(CERT_CAP).collect()
+    ]
     arr = np.asarray(keys, dtype=np.int64)
     n = int(arr.size)
     q = max(10, int(np.ceil(np.log2(max(2 * n, 4)))))
@@ -1926,7 +1937,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n // 2 AS BIGINT) AS len_after_delete,
                    CAST(0 AS BIGINT) AS fn_remaining
             FROM (
-                SELECT COUNT(DISTINCT c_custkey) AS n
+                SELECT LEAST(COUNT(DISTINCT c_custkey), 4096) AS n
                 FROM customer WHERE c_mktsegment = 'BUILDING'
             )
         """,
@@ -1936,7 +1947,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS fn_count,
                    CAST(0 AS BIGINT) AS fp_count
             FROM (
-                SELECT COUNT(DISTINCT c_custkey) AS n
+                SELECT LEAST(COUNT(DISTINCT c_custkey), 4096) AS n
                 FROM customer WHERE c_mktsegment = 'BUILDING'
             )
         """,
