@@ -1155,6 +1155,106 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free media decode end-to-end (sketchlib.media): the
+    deterministic codec table plants constant-color 24-bpp BMPs, square
+    -wave 16-bit PCM WAVs, and undecodable payloads, all with metadata
+    closed-form in the row id. The pipeline decodes both modalities,
+    checks every decoded value against the closed form (dimensions +
+    exact channel means for images; rate, sample count, duration, and
+    EXACT RMS for audio — a +-A square wave's RMS is A), resamples the
+    audio to 16 kHz and re-checks, and reports per-format counts the
+    oracle recomputes from range() alone."""
+    from sketchlib.media import (
+        decode_audio_meta,
+        decode_image_meta,
+        resample_audio,
+        synth_codec_media_df,
+    )
+
+    _ensure_workers(spark)
+    n = 280
+    m = synth_codec_media_df(spark, n, partitions=4).persist()
+    i = F.col("media_id")
+    img = decode_image_meta(m).select(
+        "media_id",
+        F.col("fmt").alias("img_fmt"),
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.col("ok").alias("img_ok"),
+    )
+    aud = decode_audio_meta(m).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        "rms",
+        F.col("ok").alias("aud_ok"),
+    )
+    rs = decode_audio_meta(
+        resample_audio(m.filter(F.col("kind") == "audio"), 16000).drop("ok")
+    ).select(
+        "media_id",
+        (
+            F.col("ok")
+            & (F.col("sample_rate") == 16000)
+            & (
+                F.col("n_samples")
+                == F.round(
+                    (800 + F.pmod(F.col("media_id"), 10) * 80)
+                    * 16000
+                    / (8000 + F.pmod(F.col("media_id"), 4) * 4000)
+                )
+            )
+        ).alias("rs_ok"),
+    )
+    j = m.select("media_id").join(img, "media_id").join(aud, "media_id").join(rs, "media_id", "left")
+    src_rate = 8000 + F.pmod(i, 4) * 4000
+    src_n = 800 + F.pmod(i, 10) * 80
+    fmt = (
+        F.when(F.col("img_fmt") == "bmp", F.lit("bmp"))
+        .when(F.col("aud_ok"), F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    check = (
+        F.when(
+            F.col("img_fmt") == "bmp",
+            (F.col("width") == 16 + F.pmod(i, 8))
+            & (F.col("height") == 12 + F.pmod(i, 4))
+            & (F.col("mean_r") == F.pmod(i * 3, 256).cast("float"))
+            & (F.col("mean_g") == F.pmod(i * 5, 256).cast("float"))
+            & (F.col("mean_b") == F.pmod(i * 7, 256).cast("float")),
+        )
+        .when(
+            F.col("aud_ok"),
+            (F.col("sample_rate") == src_rate)
+            & (F.col("n_samples") == src_n)
+            & (F.col("rms") == (F.pmod(i, 100) + 1) * 100)
+            & (F.col("duration_s") == F.col("n_samples") / F.col("sample_rate")),
+        )
+        .otherwise(~F.col("img_ok") & ~F.col("aud_ok"))
+    )
+    out = (
+        j.select(
+            fmt.alias("fmt"),
+            (F.col("img_ok") | F.col("aud_ok")).cast("long").alias("decoded"),
+            check.alias("check"),
+            F.coalesce(F.col("rs_ok"), F.lit(True)).alias("rs_ok"),
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("decoded").alias("n_decoded"),
+            F.min("check").alias("checks_ok"),
+            F.min("rs_ok").alias("resample_ok"),
+        )
+    )
+    return out
+
+
 def q_simhash_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, driver-checked via its deterministic
     guarantees on a planted corpus: 40 clusters of 3 byte-identical
@@ -1695,6 +1795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_recall": q_ivf_topk_recall,
     "rollup_merge_up": q_rollup_merge_up,
     "media_pipeline": q_media_pipeline,
+    "media_decode": q_media_decode,
     "winnow_guarantee": q_winnow_guarantee,
     "simhash_guarantee": q_simhash_guarantee,
     "lang_id_roundtrip": q_lang_id_roundtrip,
@@ -2008,6 +2109,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM range(300) t(i)
             )
             GROUP BY kind
+        """,
+        "media_decode": """
+            WITH t AS (
+                SELECT i,
+                       CASE WHEN i % 7 = 3 THEN 'unknown'
+                            WHEN i % 2 = 0 THEN 'bmp'
+                            ELSE 'wav' END AS fmt
+                FROM range(280) r(i)
+            )
+            SELECT fmt,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN fmt = 'unknown' THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_decoded,
+                   TRUE AS checks_ok,
+                   TRUE AS resample_ok
+            FROM t GROUP BY fmt
         """,
         "rollup_merge_up": """
             SELECT source,

@@ -139,6 +139,66 @@ class TestMedia:
             per_media.setdefault(r.media_id, []).append(r.frame_no)
         assert all(sorted(v) == [0, 2] for v in per_media.values())  # 1024/256=4 frames
 
-    def test_decode_stub_raises(self, media):
-        with pytest.raises(NotImplementedError, match="image decode"):
-            decode_image_meta(media)
+class TestCodecFreeDecode:
+    def test_wav_roundtrip(self):
+        from sketchlib.media import parse_wav, wav_bytes
+
+        samples = (np.sin(np.arange(2000) / 7.0) * 12000).astype(np.int16)
+        stereo = np.stack([samples, -samples], axis=1)
+        for s, ch in ((samples, 1), (stereo, 2)):
+            rate, got_ch, bits, out = parse_wav(wav_bytes(s, 22050))
+            assert (rate, got_ch, bits) == (22050, ch, 16)
+            assert np.array_equal(out.astype(np.int16), s.reshape(-1, ch))
+
+    def test_bmp_ppm_roundtrip(self):
+        from sketchlib.media import bmp_bytes, parse_bmp, parse_ppm, ppm_bytes
+
+        rng = np.random.default_rng(7)
+        for w, h in ((13, 9), (16, 4), (1, 1)):  # odd widths exercise row padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(parse_bmp(bmp_bytes(px)), px)
+            assert np.array_equal(parse_ppm(ppm_bytes(px)), px)
+
+    def test_spark_decode_closed_form(self, spark):
+        from sketchlib.media import decode_audio_meta, decode_image_meta, synth_codec_media_df
+
+        m = synth_codec_media_df(spark, 84, partitions=3).cache()
+        img = {r.media_id: r for r in decode_image_meta(m).collect()}
+        aud = {r.media_id: r for r in decode_audio_meta(m).collect()}
+        for i in range(84):
+            if i % 7 == 3:
+                assert img[i].fmt == "unknown" and not img[i].ok
+                assert not aud[i].ok
+            elif i % 2 == 0:
+                r = img[i]
+                assert (r.fmt, r.ok) == ("bmp", True)
+                assert (r.width, r.height) == (16 + i % 8, 12 + i % 4)
+                assert (r.mean_r, r.mean_g, r.mean_b) == (
+                    (i * 3) % 256, (i * 5) % 256, (i * 7) % 256
+                )
+            else:
+                r = aud[i]
+                assert r.ok and r.bits == 16 and r.n_channels == 1
+                assert r.sample_rate == 8000 + (i % 4) * 4000
+                assert r.n_samples == 800 + (i % 10) * 80
+                assert r.rms == (i % 100 + 1) * 100  # exact: perfect square
+                assert r.duration_s == r.n_samples / r.sample_rate
+
+    def test_spark_resample(self, spark):
+        from sketchlib.media import decode_audio_meta, resample_audio, synth_codec_media_df
+
+        m = synth_codec_media_df(spark, 40, partitions=2).filter("kind = 'audio'")
+        res = decode_audio_meta(resample_audio(m, 16000).drop("ok"))
+        for r in res.collect():
+            i = r.media_id
+            src_rate = 8000 + (i % 4) * 4000
+            src_n = 800 + (i % 10) * 80
+            assert r.ok and r.sample_rate == 16000
+            assert r.n_samples == round(src_n * 16000 / src_rate)
+
+    def test_resample_passthrough_nonwav(self, spark):
+        from sketchlib.media import resample_audio, synth_codec_media_df
+
+        m = synth_codec_media_df(spark, 20, partitions=2).filter("kind = 'garbage'")
+        rows = resample_audio(m, 16000).collect()
+        assert rows and all(not r.ok for r in rows)
