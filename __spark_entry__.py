@@ -735,6 +735,61 @@ def q_topk_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_resolved_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String heavy hitters through the SKETCH path (not exact-rescore):
+    sketch inputs are pre-hashed JVM-side, so the TopK sketch emits
+    xxhash64 items; topk.hash_item_dimension / resolve_item_hashes join
+    them back to the original strings distributedly (broadcast of the
+    k-row output against a distinct-value dimension — nothing but the
+    KB state blob ever reaches the driver). The planted corpus makes
+    the answer closed-form: 10 'hot' words with counts 2000, 1900, ...,
+    1100 over 5000 singleton fillers — separation (100) far exceeds any
+    CMS overestimate at w=2048 (eps*N ~ 27), so the sketch's top-10 IS
+    hot0..hot9 in exact order, deterministically under the fixed seed.
+    Output: (word, rnk, est_ok) with est checked against the CMS bound
+    a <= est <= a + eps*N for the closed-form count a."""
+    from sketchlib.topk import TopK, hash_item_dimension, resolve_item_hashes
+
+    _ensure_workers(spark)
+    n_hot, base, step, n_fill = 10, 2000, 100, 5000
+    hot = spark.range(n_hot).select(
+        F.explode(
+            F.array_repeat(
+                F.concat(F.lit("hot"), F.col("id")),
+                (F.lit(base) - F.col("id") * step).cast("int"),
+            )
+        ).alias("word")
+    )
+    fill = spark.range(n_fill).select(F.concat(F.lit("w"), F.col("id")).alias("word"))
+    words = hot.unionByName(fill).repartition(8).persist()
+    w, d = 2048, 5
+    merged = sketch_aggregate(
+        words,
+        [],
+        [SketchSpec("tk", "topk", "word", {"k": n_hot, "w": w, "d": d, "seed": SEED})],
+        fanout=8,
+    )
+    tk = TopK.from_bytes(bytes(merged.select("state").collect()[0][0]))
+    items, est = tk.query()
+    eps_n = math.e / w * float(tk.cms.total())
+    idf = spark.createDataFrame(
+        list(zip(items.tolist(), est.astype("int64").tolist())), "item long, est long"
+    )
+    resolved = resolve_item_hashes(idf, hash_item_dimension(words, "word"))
+    win = Window.orderBy(F.desc("est"), F.asc("value"))
+    ranked = resolved.select(
+        F.col("value").alias("word"),
+        F.row_number().over(win).cast("long").alias("rnk"),
+        F.col("est"),
+    )
+    cnt = F.lit(base) - (F.col("rnk") - 1) * step
+    return ranked.select(
+        "word",
+        "rnk",
+        ((F.col("est") >= cnt) & (F.col("est") <= cnt + F.lit(eps_n))).alias("est_ok"),
+    )
+
+
 def q_bloom_len_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom len() cardinality estimate (bloomfilter.rs:296-304,
     -m/k * ln(1 - X/m)): per event_type, the estimate must land within
@@ -1392,20 +1447,30 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_workers(spark)
     week = 7 * 24 * 3600
-    # segment files are deterministic per sf_dir — cache them so
-    # repeated runs (oracle checks, bench) skip the driver-side prep
+    # segment files are deterministic per events table — cache them
+    # keyed by a CONTENT fingerprint (file sizes + mtimes) so a
+    # regenerated dataset at the same path never reuses stale segments,
+    # and build atomically (temp dir + os.rename) so concurrent runs
+    # can't observe a half-built cache
     import hashlib as _hashlib
 
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    fp = _hashlib.md5(sf_dir.encode())
+    if os.path.isfile(ev_path):
+        st = os.stat(ev_path)
+        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        for root, _dirs, files in sorted(os.walk(ev_path)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                fp.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
     src = os.path.join(
-        _tempfile.gettempdir(),
-        f"winstream_src_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        _tempfile.gettempdir(), f"winstream_src_{fp.hexdigest()[:16]}"
     )
     ckpt = _tempfile.mkdtemp(prefix="winstream_ckpt_")
     ev = _t(spark, sf_dir, "events")
-    marker = os.path.join(src, "_READY")
-    if not os.path.exists(marker):
-        _shutil.rmtree(src, ignore_errors=True)
-        os.makedirs(src)
+    if not os.path.isdir(src):
+        build = _tempfile.mkdtemp(prefix="winstream_build_", dir=_tempfile.gettempdir())
         # micro-batch files must be TIME-CONTIGUOUS segments (real
         # event-time arrival order): feeding arbitrary part files that
         # each span the whole time range would advance the watermark
@@ -1426,9 +1491,11 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ts",
                     tbl["ts"].cast(_pa.timestamp("us")),
                 )
-                _pq.write_table(tbl, os.path.join(src, f"b{i:03d}.parquet"))
-        with open(marker, "w") as f:
-            f.write("ok")
+                _pq.write_table(tbl, os.path.join(build, f"b{i:03d}.parquet"))
+        try:
+            os.rename(build, src)  # atomic publish
+        except OSError:  # a concurrent run published first — use theirs
+            _shutil.rmtree(build, ignore_errors=True)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     for j, days in enumerate((40, 80)):
         _pq.write_table(
@@ -1784,6 +1851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_recall": q_srp_neardup_recall,
     "lossy_heavy_hitters": q_lossy_heavy_hitters,
     "topk_sketch_words": q_topk_sketch_words,
+    "topk_resolved_strings": q_topk_resolved_strings,
     "bloom_len_estimate": q_bloom_len_estimate,
     "tdigest_cdf_quantity": q_tdigest_cdf_quantity,
     "cuckoo_filter_ops": q_cuckoo_filter_ops,
@@ -2012,6 +2080,12 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cnt DESC, word ASC
                 LIMIT 5
             )
+        """,
+        "topk_resolved_strings": """
+            SELECT 'hot' || CAST(i AS VARCHAR) AS word,
+                   CAST(i + 1 AS BIGINT) AS rnk,
+                   TRUE AS est_ok
+            FROM range(10) t(i)
         """,
         "bloom_len_estimate": """
             SELECT event_type,

@@ -446,6 +446,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) labels for the undirected graph in ``edges``,
     where ``component`` is the minimum node id in each connected
@@ -459,15 +460,22 @@ def connected_components(
     converges to a star forest in O(log^2 n) rounds (observed 2-4 on
     dedup graphs, whose components are near-cliques). Everything stays
     distributed — per round the driver sees only a (count, hash-sum)
-    convergence fingerprint; ``localCheckpoint`` truncates the growing
-    lineage each round (on a multi-executor cluster prefer a reliable
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so state
-    survives executor loss; same call shape).
+    convergence fingerprint. Lineage is truncated each round: with
+    ``checkpoint_dir`` set, via RELIABLE ``checkpoint()`` to that
+    directory (survives executor loss — use this on a real cluster);
+    otherwise via ``localCheckpoint`` (executor-local blocks, fine for
+    single-node/dev).
 
     Nodes with no edges don't appear in the output (joining singletons
     back is the caller's one-liner, see ``drop_near_duplicates``).
     """
-    e = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    e = _ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -475,7 +483,6 @@ def connected_components(
         # times (union of both directions, then two consumers of sym) —
         # without this the upstream pair computation (often an expensive
         # near-dup join) re-runs per consumer
-        .localCheckpoint()
     )
 
     def fingerprint(df: DataFrame):
@@ -509,12 +516,11 @@ def connected_components(
         down = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         mins = down.groupBy("a").agg(F.min("b").alias("m"))
         stars = down.join(mins, "a")
-        e = (
+        e = _ckpt(
             stars.select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins.select(F.col("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
         )
         cur = fingerprint(e)
         if cur == prev:
@@ -538,13 +544,16 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one representative (the min id) per duplicate cluster:
     ``docs`` minus every non-representative member of each connected
     component of ``pairs``. Singletons (no near-dup edge) pass through
     untouched. The anti-join side holds only cluster members — tiny
-    next to the corpus — so Spark broadcasts it when it fits."""
-    cc = connected_components(pairs, src, dst)
+    next to the corpus — so Spark broadcasts it when it fits.
+    ``checkpoint_dir``: reliable-checkpoint directory for the CC loop
+    (see :func:`connected_components`)."""
+    cc = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     losers = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

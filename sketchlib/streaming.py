@@ -547,12 +547,17 @@ def neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     return spark.read.parquet(pairs_path).select("doc_a", "doc_b")
 
 
-def neardup_clusters(spark: SparkSession, pairs_path: str) -> DataFrame:
+def neardup_clusters(
+    spark: SparkSession, pairs_path: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Periodic maintenance for a near-dup stream: fold everything the
     stream has emitted so far into duplicate-cluster labels (node ->
     component min) via :func:`sketchlib.dedup.connected_components`.
     Run between micro-batches or on a schedule — the input is the pair
-    store (the answer's own size), never the corpus."""
+    store (the answer's own size), never the corpus. ``checkpoint_dir``:
+    reliable-checkpoint directory for the CC loop (executor-loss-safe)."""
     from .dedup import connected_components
 
-    return connected_components(neardup_pairs(spark, pairs_path), "doc_a", "doc_b")
+    return connected_components(
+        neardup_pairs(spark, pairs_path), "doc_a", "doc_b", checkpoint_dir=checkpoint_dir
+    )

@@ -361,3 +361,39 @@ def topk_exact_rescore(df, group_cols: list[str], col: str, k: int, candidates_p
         exact_all = narrow.groupBy(*group_cols, "value").agg(F.count(F.lit(1)).alias("cnt"))
         topk = exact_all.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     return topk.drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# hash reverse map — original strings for hashed sketch outputs
+# ---------------------------------------------------------------------------
+# Sketch inputs over strings are pre-hashed JVM-side (agg._resolve_specs:
+# F.xxhash64), so lossy/topk sketch outputs emit hash values. The
+# reference's CMSHeap emits the items themselves (cmsheap.rs:213-219);
+# these helpers restore that surface without collecting anything: build a
+# distinct-value dimension in the same scan that feeds the sketch, then
+# broadcast-join the tiny sketch output against it.
+
+
+def hash_item_dimension(df, col: str):
+    """(value, item) reverse-map dimension: distinct values of ``col``
+    with their ``xxhash64`` — the exact hash the sketch path applied.
+    One distinct-shuffle over the values (map-side partial aggregation;
+    the same scan that feeds the sketch build), no driver collection."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(col).alias("value"))
+        .distinct()
+        .select("value", F.xxhash64("value").alias("item"))
+    )
+
+
+def resolve_item_hashes(items_df, dim):
+    """Join a (tiny) sketch output carrying an ``item`` hash column back
+    to original strings via a :func:`hash_item_dimension` frame. The
+    k-row sketch output is broadcast; the dimension — corpus-scale —
+    never moves. Returns the dimension's ``value`` plus every items_df
+    column."""
+    from pyspark.sql import functions as F
+
+    return dim.join(F.broadcast(items_df), "item").drop("item")

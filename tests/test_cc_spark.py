@@ -105,3 +105,26 @@ def test_cc_empty_and_self_loops(spark):
     assert connected_components(empty).count() == 0
     loops = spark.createDataFrame([("a", "a")], "doc_a string, doc_b string")
     assert connected_components(loops).count() == 0
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches the loop to reliable checkpoint():
+    results identical, and checkpoint state actually lands in the dir."""
+    import os
+
+    edges = [(i, i + 1) for i in range(60)] + [(200 + i, 200) for i in range(5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert got == set(union_find(edges).items())
+    # reliable checkpoints were written under the requested directory
+    walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert walked, "no reliable checkpoint state written"
+    # and drop_near_duplicates plumbs the same option through
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    kept = drop_near_duplicates(docs, df, checkpoint_dir=ckdir)
+    losers = {n for n, c in union_find(edges).items() if n != c}
+    assert {r.doc_id for r in kept.collect()} == set(range(300)) - losers
