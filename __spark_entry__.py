@@ -1034,13 +1034,16 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sketchlib.agg import build_partials, merge_partials
     from sketchlib.checkpoint import checkpointed_sketch_aggregate, lineage_summary
+    from sketchlib.io import snapshot_id
 
     spec = [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})]
     ev = _t(spark, sf_dir, "events").repartition(8)
     root = tempfile.mkdtemp(prefix="sketchlib_ckpt_q_")
     try:
         ckpt = os.path.join(root, "ckpt")
-        fp = "events@v1"
+        # lineage fingerprint from the INPUT itself (io.snapshot_id:
+        # Iceberg snapshot when cataloged, file-listing hash for parquet)
+        fp = snapshot_id(spark, os.path.join(sf_dir, "events.parquet"))
         ref = {
             r["event_type"]: bytes(r["state"])
             for r in merge_partials(

@@ -18,8 +18,11 @@ def _is_path(ident: str) -> bool:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # py4j package traversal (spark._jvm.org.apache...) never raises —
+    # it builds JavaPackage objects lazily — so probe with an actual
+    # classload, which fails iff the Iceberg runtime jar is absent
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False
