@@ -5,7 +5,13 @@
      "queries": {name: sec, ...}, "sf": ...,
      "tokens": N, "tokens_per_sec": ..., "token_updates_per_sec": ...,
      "scaling": {"cores_low": 8, "cores_high": 32, "wall_low": ...,
-                 "wall_high": ..., "efficiency": ...}}
+                 "wall_high": ..., "efficiency": ...},
+     "query_stats": {name: {"n": passes, "median": sec, "spread": sec}}}
+
+Per-query numbers are STEADY-STATE: every query runs once, then is
+re-sampled cheapest-first (up to 3 samples) while budget remains;
+`queries[name]` is the min over windows and `query_stats` carries
+median/spread so drift and host-load spikes are visible.
 
 Headline job (BASELINE.json north_rule): one pass over the deterministic
 `sequences` table (doc_id, tokens array<int32>, n_tok, source — written
@@ -312,7 +318,10 @@ def main() -> None:
         result["tokens"] = tokens or None
 
     queries: dict = {}
+    query_stats: dict = {}
     if do_queries:
+        import statistics
+
         import __spark_entry__ as mod
 
         spark = get_spark("bench-queries", cores=cpus)
@@ -326,18 +335,53 @@ def main() -> None:
             mod.queries()["hll_distinct_users_per_event_type"](spark, warm_dir).collect()
         except Exception:
             pass
-        for name, fn in mod.queries().items():
+        qfns = mod.queries()
+        samples: dict[str, list[float]] = {}
+
+        def run_one(name: str) -> bool:
+            t0 = time.time()
+            try:
+                qfns[name](spark, sf_dir).collect()
+                samples.setdefault(name, []).append(time.time() - t0)
+                return True
+            except Exception as e:  # a broken query shows up, not hides
+                queries[name] = f"ERROR: {type(e).__name__}"
+                return False
+        # pass 1: every query once, declaration order
+        for name in qfns:
+            if name in queries:  # already errored
+                continue
             if raw_remaining() < 15:
                 queries[name] = "SKIPPED: time budget"
                 continue
-            t0 = time.time()
-            try:
-                fn(spark, sf_dir).collect()
-                queries[name] = round(time.time() - t0, 2)
-            except Exception as e:  # a broken query shows up, not hides
-                queries[name] = f"ERROR: {type(e).__name__}"
+            run_one(name)
+        # steady-state passes: re-sample cheapest-first while budget
+        # remains, so per-query numbers are min/median over >= 2
+        # separated windows (separates host-load spikes and session
+        # overhead drift from real per-query cost). A query is re-run
+        # only when its expected cost fits the remaining budget.
+        for _pass in range(2):
+            progressed = False
+            for name in sorted(samples, key=lambda n: min(samples[n])):
+                if len(samples[name]) >= 3:
+                    continue
+                est = min(samples[name])
+                if raw_remaining() < est * 1.5 + 12:
+                    continue
+                progressed = run_one(name) or progressed
+            if not progressed:
+                break
+        for name, ss in samples.items():
+            queries[name] = round(min(ss), 2)  # steady-state number
+            query_stats[name] = {
+                "n": len(ss),
+                "median": round(statistics.median(ss), 2),
+                "spread": round(max(ss) - min(ss), 2),
+            }
         spark.stop()
     result["queries"] = queries
+    if query_stats:
+        result["query_stats"] = query_stats
 
     print(json.dumps(result))
 

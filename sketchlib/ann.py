@@ -172,6 +172,7 @@ def cosine_neardup_pairs_blocked(
     vec_col: str = "embedding",
     block_rows: int = 4096,
     n_blocks: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs (cos >= threshold, id_a < id_b) without a
     Catalyst cartesian product: the classic 2D-blocked all-pairs scheme.
@@ -194,7 +195,11 @@ def cosine_neardup_pairs_blocked(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if n_blocks is None:
-        n_blocks = max(1, -(-emb.count() // block_rows))
+        # sizing only needs an approximate row count: take the caller's
+        # hint when provided (skips an extra action per call) — an off
+        # estimate just changes tile granularity, never correctness
+        n = n_rows_hint if n_rows_hint is not None else emb.count()
+        n_blocks = max(1, -(-n // block_rows))
     bpairs = [(bp, i, j) for bp, (i, j) in enumerate(
         (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
     )]
