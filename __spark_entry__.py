@@ -790,6 +790,54 @@ def q_topk_resolved_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops.decontaminate_ids): every doc
+    sharing a word 3-gram with the 'benchmark' (docs with doc_id % 37 ==
+    0, simulating a leaked eval set) is flagged. Bloom over the
+    benchmark's gram hashes broadcasts and prunes the corpus gram
+    stream (zero false negatives by the reference insert/query
+    contract); surviving candidates are EXACTLY verified by semi-join
+    on the gram strings, so the result is exact and the oracle is the
+    plain n-gram intersection."""
+    from sketchlib.textops import decontaminate_ids
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(37)) == 0)
+    bad = decontaminate_ids(docs, bench, "doc_id", "words", n=3)
+    return (
+        docs.join(bad.withColumn("c", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+    )
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate (textops.quality_signals /
+    quality_mask): per-doc integer signals (word count, summed word
+    chars, alpha-word count, stopword hits) with every threshold as
+    cross-multiplied integer arithmetic — both engines compute the
+    identical pass mask bit-for-bit. Reports per-source doc counts,
+    pass counts, and signal totals."""
+    from sketchlib.textops import quality_mask, quality_signals
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    sig = quality_signals(docs.select("doc_id", "source", "words"), "doc_id", "words")
+    joined = docs.select("doc_id", "source").join(sig, "doc_id")
+    mask = quality_mask(
+        min_words=40, max_words=10_000, min_mean_word_len=4, max_mean_word_len=10,
+        min_alpha_frac_pct=80, min_stopwords=2,
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(mask.cast("long")).alias("n_pass"),
+        F.sum("word_chars").cast("long").alias("total_word_chars"),
+        F.sum("n_stopwords").cast("long").alias("total_stopwords"),
+    )
+
+
 def q_bloom_len_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom len() cardinality estimate (bloomfilter.rs:296-304,
     -m/k * ln(1 - X/m)): per event_type, the estimate must land within
@@ -1855,6 +1903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lossy_heavy_hitters": q_lossy_heavy_hitters,
     "topk_sketch_words": q_topk_sketch_words,
     "topk_resolved_strings": q_topk_resolved_strings,
+    "decontamination": q_decontamination,
+    "quality_rules": q_quality_rules,
     "bloom_len_estimate": q_bloom_len_estimate,
     "tdigest_cdf_quantity": q_tdigest_cdf_quantity,
     "cuckoo_filter_ops": q_cuckoo_filter_ops,
@@ -2083,6 +2133,53 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cnt DESC, word ASC
                 LIMIT 5
             )
+        """,
+        "quality_rules": """
+            WITH w AS (
+                SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            sig AS (
+                SELECT doc_id,
+                       ANY_VALUE(source) AS source,
+                       COUNT(*) AS n_words,
+                       SUM(length(word)) AS word_chars,
+                       SUM(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END)
+                           AS n_alpha,
+                       SUM(CASE WHEN word IN ('the','a','be','to','of','and','that',
+                                              'have','with','in') THEN 1 ELSE 0 END)
+                           AS n_stop
+                FROM w GROUP BY doc_id
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n_words >= 40 AND n_words <= 10000
+                                  AND word_chars >= 4 * n_words
+                                  AND word_chars <= 10 * n_words
+                                  AND n_alpha * 100 >= 80 * n_words
+                                  AND n_stop >= 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(SUM(word_chars) AS BIGINT) AS total_word_chars,
+                   CAST(SUM(n_stop) AS BIGINT) AS total_stopwords
+            FROM sig GROUP BY source
+        """,
+        "decontamination": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 2, 0) + 1)) AS t(i)
+            ),
+            bad AS (
+                SELECT DISTINCT a.doc_id
+                FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id % 37 = 0
+            )
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN bad.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_contaminated
+            FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+            GROUP BY d.source
         """,
         "topk_resolved_strings": """
             SELECT 'hot' || CAST(i AS VARCHAR) AS word,

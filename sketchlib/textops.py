@@ -343,3 +343,105 @@ def synth_lang_corpus(spark, n: int, langs: int = 3, words_per_doc: int = 10,
             )
 
     return base.mapInArrow(gen, schema)
+
+
+# ------------------------------------------------- decontamination
+
+
+def decontaminate_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    n: int = 3,
+    m: int = 1 << 22,
+    k: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT benchmark decontamination with a Bloom pre-filter: the ids
+    of every corpus doc sharing at least one word ``n``-gram with the
+    benchmark set (the standard "did the eval set leak into training
+    data" check).
+
+    Scale shape: the benchmark's n-gram hashes build ONE Bloom filter
+    (KB-MB state, broadcast — zero false negatives by construction,
+    bloomfilter.rs insert/query contract), which prunes the corpus's
+    exploded gram stream BEFORE anything shuffles; only the surviving
+    candidate (id, gram) hits join the exact benchmark gram set, which
+    removes the Bloom's false positives. The result is exact while the
+    shuffled volume is the contamination candidates, not the corpus.
+    """
+    from .agg import SketchSpec, sketch_aggregate
+    from .dedup import shingle_col
+    from .estimates import membership_udf
+
+    spark = docs.sparkSession
+    bgrams = bench.select(F.explode(shingle_col(words_col, n)).alias("g"))
+    merged = sketch_aggregate(
+        bgrams.select(F.xxhash64("g").alias("h")),
+        [],
+        [SketchSpec("b", "bloom", "h", {"m": m, "k": k, "seed": seed})],
+        fanout=8,
+    )
+    blob = bytes(merged.select("state").collect()[0][0])
+    member = membership_udf(spark, {"_": blob})
+    cgrams = docs.select(
+        F.col(id_col).alias("__id"), F.explode(shingle_col(words_col, n)).alias("g")
+    )
+    cand = cgrams.filter(member(F.lit("_"), F.xxhash64("g")))
+    # exact verify on the gram STRINGS (not hashes): kills Bloom false
+    # positives and is immune even to 64-bit gram-hash collisions
+    hits = cand.join(bgrams.distinct(), "g", "left_semi")
+    return hits.select(F.col("__id").alias(id_col)).distinct()
+
+
+# ------------------------------------------------- quality rules (Gopher-style)
+
+# small function-word list for the stopword-presence rule (Gopher §A1.1
+# uses the same idea: real prose contains common function words)
+QUALITY_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with", "in")
+
+
+def quality_signals(df: DataFrame, id_col: str, words_col: str) -> DataFrame:
+    """Per-doc quality-rule signals (Rae et al. Gopher §A1.1 /
+    RefinedWeb style), ALL integer-valued and pure JVM expressions so
+    thresholds compose into exact cross-multiplied comparisons:
+
+    ``n_words, word_chars`` (sum of word lengths), ``n_alpha_words``
+    (words containing a letter), ``n_stopwords`` (hits in
+    QUALITY_STOPWORDS), ``max_word_len``.
+    """
+    wlen = F.transform(words_col, lambda w: F.length(w))
+    return df.select(
+        F.col(id_col),
+        F.size(words_col).alias("n_words"),
+        F.aggregate(wlen, F.lit(0), lambda a, b: a + b).alias("word_chars"),
+        F.size(F.filter(words_col, lambda w: w.rlike("[A-Za-z]"))).alias("n_alpha_words"),
+        F.size(F.filter(words_col, lambda w: w.isin(*QUALITY_STOPWORDS))).alias(
+            "n_stopwords"
+        ),
+        F.array_max(wlen).alias("max_word_len"),
+    )
+
+
+def quality_mask(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_frac_pct: int = 80,
+    min_stopwords: int = 2,
+):
+    """Boolean pass/fail expression over :func:`quality_signals`
+    columns. Every comparison is cross-multiplied integer arithmetic
+    (mean word length in [3,10] becomes ``3*n <= chars <= 10*n``), so
+    any engine computes the identical mask — no float thresholds."""
+    n, chars = F.col("n_words"), F.col("word_chars")
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (chars >= min_mean_word_len * n)
+        & (chars <= max_mean_word_len * n)
+        & (F.col("n_alpha_words") * 100 >= min_alpha_frac_pct * n)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )

@@ -202,3 +202,63 @@ class TestCodecFreeDecode:
         m = synth_codec_media_df(spark, 20, partitions=2).filter("kind = 'garbage'")
         rows = resample_audio(m, 16000).collect()
         assert rows and all(not r.ok for r in rows)
+
+
+class TestDecontamination:
+    def test_planted_overlap(self, spark):
+        from sketchlib.textops import decontaminate_ids
+
+        # bench doc shares a 3-gram run with docs 1 and 2; doc 3 disjoint
+        shared = "alpha beta gamma delta".split()
+        docs = spark.createDataFrame(
+            [
+                (1, ["x1"] + shared + ["x2"]),
+                (2, shared[:3] + ["y1", "y2"]),   # shares "alpha beta gamma"
+                (3, [f"z{i}" for i in range(8)]),
+                (4, ["alpha", "q1", "beta", "q2", "gamma"]),  # words, no shared 3-gram
+            ],
+            "doc_id long, words array<string>",
+        )
+        bench = spark.createDataFrame([(99, shared)], "doc_id long, words array<string>")
+        got = {r.doc_id for r in decontaminate_ids(docs, bench, m=1 << 14).collect()}
+        assert got == {1, 2}
+
+    def test_short_docs_cannot_contaminate(self, spark):
+        from sketchlib.textops import decontaminate_ids
+
+        docs = spark.createDataFrame(
+            [(1, ["alpha", "beta"])], "doc_id long, words array<string>"
+        )
+        bench = spark.createDataFrame(
+            [(9, ["alpha", "beta", "gamma"])], "doc_id long, words array<string>"
+        )
+        assert decontaminate_ids(docs, bench).count() == 0
+
+
+class TestQualityRules:
+    def test_each_rule_discriminates(self, spark):
+        from sketchlib.textops import quality_mask, quality_signals
+
+        good = ["the", "words", "flow", "nicely", "and", "carry", "meaning", "here"]
+        rows = [
+            (1, good),                                  # passes all
+            (2, good[:3]),                              # too few words
+            (3, ["ab"] * 8),                            # mean word len < 3 (and no stopwords)
+            (4, ["the", "a"] + ["123456"] * 6),         # alpha fraction < 80%
+            (5, [w for w in good if w not in ("the", "and")] + ["extra", "tail"]),  # <2 stopwords
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, words array<string>")
+        sig = quality_signals(df, "doc_id", "words")
+        mask = quality_mask(min_words=5, max_words=100, min_mean_word_len=3,
+                            max_mean_word_len=10, min_alpha_frac_pct=80, min_stopwords=2)
+        got = {r.doc_id: r.p for r in sig.select("doc_id", mask.alias("p")).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+    def test_signals_are_integers(self, spark):
+        from sketchlib.textops import quality_signals
+
+        df = spark.createDataFrame([(1, ["the", "cat"])], "doc_id long, words array<string>")
+        r = quality_signals(df, "doc_id", "words").collect()[0]
+        assert (r.n_words, r.word_chars, r.n_alpha_words, r.n_stopwords, r.max_word_len) == (
+            2, 6, 2, 1, 3
+        )
