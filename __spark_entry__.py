@@ -548,6 +548,30 @@ def q_srp_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-dedup (ann.semantic_dedup_pairs):
+    spherical-k-means partition, then exact cosine pairs within each
+    cluster via one BLAS tile per list — expected FLOPs n²/n_lists.
+    Certifies achieved recall vs the exact 2D-blocked kernel at the
+    dedup regime (cos >= 0.9, where near-identical vectors share a
+    nearest centroid). Both numbers are distributed counts — no pair
+    set reaches the driver. Precision is 1.0 by construction (exact
+    within-cluster verify)."""
+    from sketchlib.ann import cosine_neardup_pairs_blocked, semantic_dedup_pairs
+
+    _ensure_workers(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_neardup_pairs_blocked(emb, 0.9).persist()
+    sem = semantic_dedup_pairs(emb, 0.9, dim=64, n_lists=16, seed=SEED)
+    n_exact = exact.count()
+    n_hit = exact.join(sem, ["id_a", "id_b"], "left_semi").count()
+    exact.unpersist()
+    recall = (n_hit / n_exact) if n_exact else 1.0
+    return spark.createDataFrame(
+        [(n_exact, bool(recall >= 0.8))], "n_exact_pairs long, recall_ok boolean"
+    )
+
+
 def q_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted lists) ANN path: coarse-quantize the
     corpus (one int list-id per vector — embeddings never shuffle for
@@ -1914,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ctor_goldens": q_ctor_goldens,
     "windowed_stream_watermark": q_windowed_stream_watermark,
     "ivf_topk_recall": q_ivf_topk_recall,
+    "semantic_dedup_recall": q_semantic_dedup_recall,
     "rollup_merge_up": q_rollup_merge_up,
     "media_pipeline": q_media_pipeline,
     "media_decode": q_media_decode,
@@ -2243,6 +2268,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk_recall": """
             SELECT CAST(5 * 10 AS BIGINT) AS n_exact, TRUE AS recall_ok
+        """,
+        "semantic_dedup_recall": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.9
         """,
         "pq_topk_recall": """
             SELECT CAST(5 * 10 AS BIGINT) AS n_exact, TRUE AS recall_ok

@@ -675,3 +675,73 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (cluster-then-dedup) — SemDeDup-style scale path
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    list_cap: int | None = 65536,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Cluster-then-dedup near-dup pairs (the SemDeDup recipe, Abbas et
+    al. 2023): coarse-partition the corpus with the spherical k-means
+    quantizer (:func:`ivf_centroids` / :func:`ivf_assign`, one int per
+    vector — embeddings never shuffle for assignment), then compute
+    EXACT cosine pairs (>= threshold, id_a < id_b) WITHIN each cluster
+    as one BLAS tile per list (same fused verify as
+    :func:`srp_neardup_pairs`).
+
+    Expected FLOPs drop from n² to ~n²/n_lists; the deliberate
+    trade-off is that pairs straddling a cluster boundary are missed —
+    near-identical vectors (the dedup regime, cos >= ~0.9) almost
+    always share a nearest centroid, and the driver query certifies the
+    achieved recall against the exact kernel. Lists larger than
+    ``list_cap`` are dropped before the vector join (skew guard, same
+    contract as ``bucket_cap`` elsewhere; audit via a groupBy count).
+    """
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_centroids(emb, dim, n_lists, id_col, vec_col, seed)
+    assign = ivf_assign(emb, centroids, 1, id_col, vec_col)
+    if list_cap is not None:
+        hot = (
+            assign.groupBy("lst")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > list_cap)
+            .select("lst")
+        )
+        assign = assign.join(F.broadcast(hot), "lst", "left_anti")
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    rows = assign.join(base, "vid")
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField("id_a", id_type, False), StructField("id_b", id_type, False)]
+    )
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids = pdf["vid"].to_numpy()
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        keep = lo < hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
+
+    return rows.groupBy("lst").applyInPandas(tile, out_schema)

@@ -126,3 +126,48 @@ def test_neardup_tiles_string_ids(spark):
            srp_neardup_pairs(emb, 0.95, dim=DIM, n_bits=2, n_tables=8, seed=5).collect()}
     assert exact  # the cluster guarantees near-dup pairs exist
     assert lsh == exact
+
+
+def test_semantic_dedup_subset_and_recall(spark):
+    """semantic pairs are a SUBSET of exact (precision 1.0); recall is
+    high on planted near-identical clusters (they share a centroid)."""
+    import numpy as np
+
+    from sketchlib.ann import cosine_neardup_pairs_blocked, semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(12):  # 12 well-separated cluster centers
+        center = rng.normal(size=DIM)
+        center /= np.linalg.norm(center)
+        for _ in range(3):  # 3 near-identical members each
+            v = center + rng.normal(scale=0.01, size=DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(60):  # background noise
+        v = rng.normal(size=DIM)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+    exact = {tuple(r) for r in cosine_neardup_pairs_blocked(emb, 0.95).collect()}
+    sem = {
+        tuple(r)
+        for r in semantic_dedup_pairs(emb, 0.95, dim=DIM, n_lists=8, seed=3).collect()
+    }
+    assert sem <= exact  # precision 1.0
+    assert exact, "planted clusters must produce exact pairs"
+    assert len(sem & exact) / len(exact) >= 0.8
+
+
+def test_semantic_dedup_list_cap(spark):
+    import numpy as np
+
+    from sketchlib.ann import semantic_dedup_pairs
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap=1 drops every list -> no pairs; default cap keeps them
+    assert semantic_dedup_pairs(emb, 0.0, dim=DIM, n_lists=4, seed=3, list_cap=1).count() == 0
+    assert semantic_dedup_pairs(emb, 0.0, dim=DIM, n_lists=4, seed=3).count() > 0
