@@ -1185,8 +1185,14 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _words(_t(spark, sf_dir, "documents")).select("doc_id", "words")
     root = tempfile.mkdtemp(prefix="sketchlib_neardup_stream_q_")
     try:
-        src = os.path.join(root, "src")
-        docs.repartition(4).write.parquet(src)
+        # the 4-file micro-batch source is deterministic per documents
+        # table — cache it (content-fingerprinted, atomically published)
+        src = _cached_stream_src(
+            "ndstream_src",
+            sf_dir,
+            "documents.parquet",
+            lambda build: docs.repartition(4).write.mode("overwrite").parquet(build),
+        )
         stream_df = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1495,6 +1501,38 @@ def q_lang_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_stream_src(tag: str, sf_dir: str, table: str, build_into) -> str:
+    """Shared cache for deterministic driver-side stream-source prep:
+    keyed by a CONTENT fingerprint of the input table (file sizes +
+    mtimes — a regenerated dataset at the same path never reuses stale
+    files) and built ATOMICALLY (write to a temp dir, then os.rename,
+    so concurrent runs can't observe a half-built cache).
+    ``build_into(tmpdir)`` writes the source files."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    t_path = os.path.join(sf_dir, table)
+    fp = _hashlib.md5(f"{tag}:{sf_dir}".encode())
+    if os.path.isfile(t_path):
+        st = os.stat(t_path)
+        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        for root, _dirs, files in sorted(os.walk(t_path)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                fp.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    src = os.path.join(_tempfile.gettempdir(), f"{tag}_{fp.hexdigest()[:16]}")
+    if not os.path.isdir(src):
+        build = _tempfile.mkdtemp(prefix=f"{tag}_build_", dir=_tempfile.gettempdir())
+        build_into(build)
+        try:
+            os.rename(build, src)  # atomic publish
+        except OSError:  # a concurrent run published first — use theirs
+            _shutil.rmtree(build, ignore_errors=True)
+    return src
+
+
 def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed sketches as a stateful streaming operator
     (streaming.windowed_sketch_stream: applyInPandasWithState +
@@ -1522,30 +1560,10 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_workers(spark)
     week = 7 * 24 * 3600
-    # segment files are deterministic per events table — cache them
-    # keyed by a CONTENT fingerprint (file sizes + mtimes) so a
-    # regenerated dataset at the same path never reuses stale segments,
-    # and build atomically (temp dir + os.rename) so concurrent runs
-    # can't observe a half-built cache
-    import hashlib as _hashlib
-
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    fp = _hashlib.md5(sf_dir.encode())
-    if os.path.isfile(ev_path):
-        st = os.stat(ev_path)
-        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    else:
-        for root, _dirs, files in sorted(os.walk(ev_path)):
-            for fn in sorted(files):
-                st = os.stat(os.path.join(root, fn))
-                fp.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
-    src = os.path.join(
-        _tempfile.gettempdir(), f"winstream_src_{fp.hexdigest()[:16]}"
-    )
     ckpt = _tempfile.mkdtemp(prefix="winstream_ckpt_")
     ev = _t(spark, sf_dir, "events")
-    if not os.path.isdir(src):
-        build = _tempfile.mkdtemp(prefix="winstream_build_", dir=_tempfile.gettempdir())
+
+    def build_segments(build: str) -> None:
         # micro-batch files must be TIME-CONTIGUOUS segments (real
         # event-time arrival order): feeding arbitrary part files that
         # each span the whole time range would advance the watermark
@@ -1567,10 +1585,8 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     tbl["ts"].cast(_pa.timestamp("us")),
                 )
                 _pq.write_table(tbl, os.path.join(build, f"b{i:03d}.parquet"))
-        try:
-            os.rename(build, src)  # atomic publish
-        except OSError:  # a concurrent run published first — use theirs
-            _shutil.rmtree(build, ignore_errors=True)
+
+    src = _cached_stream_src("winstream_src", sf_dir, "events.parquet", build_segments)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     for j, days in enumerate((40, 80)):
         _pq.write_table(

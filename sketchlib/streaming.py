@@ -43,6 +43,7 @@ def sketch_stream_writer(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _enable_batch_aqe(batch_df.sparkSession)
         partials = build_partials(batch_df, group_cols, specs).withColumn(
             _BATCH_COL, F.lit(int(batch_id))
         )
@@ -297,18 +298,33 @@ def _read_store(
     return df.drop(_BATCH_COL, _BUCKET_COL)
 
 
+def _enable_batch_aqe(spark: SparkSession) -> None:
+    """Structured Streaming disables AQE on the query's cloned session
+    (it is unsupported for *streaming* plans), but the DataFrame actions
+    a foreachBatch body runs are plain BATCH queries — re-enabling AQE
+    on the clone restores runtime shuffle-partition coalescing for them.
+    Without this every inner KB-scale shuffle runs at the full fixed
+    ``spark.sql.shuffle.partitions`` width (measured ~3000 tasks per
+    micro-batch at test scale). The setting lives on the stream's
+    private session clone, never the user's session."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def _write_bucketed(df: DataFrame, path: str, bid: int, bucket_expr) -> None:
-    """Dynamic-overwrite append of one micro-batch's rows, partitioned
-    by (batch_id, bucket): a foreachBatch replay rewrites exactly its
-    own leaf partitions (deterministic content → deterministic
-    partition set), preserving exactly-once."""
+    """Write one micro-batch's rows as a STATIC overwrite of that
+    batch's own partition directory (``path/batch_id=N/``), partitioned
+    by bucket inside it — a foreachBatch replay rewrites exactly its own
+    directory (exactly-once) without the dynamic-overwrite commit
+    protocol, whose partition listing grows with the whole store. Rows
+    are hash-repartitioned by bucket first so each bucket gets exactly
+    one file per batch."""
     (
         df.withColumn(_BUCKET_COL, bucket_expr.cast("int"))
-        .withColumn(_BATCH_COL, F.lit(int(bid)))
+        .repartition(8, F.col(_BUCKET_COL))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(_BATCH_COL, _BUCKET_COL)
-        .parquet(path)
+        .partitionBy(_BUCKET_COL)
+        .parquet(os.path.join(path, f"{_BATCH_COL}={int(bid)}"))
     )
 
 
@@ -325,7 +341,7 @@ def neardup_stream_writer(
     bands: int = 32,
     seed: int | None = None,
     bucket_cap: int | None = 4096,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ):
     """Incremental near-dup detection: every micro-batch's docs are
     MinHash-banded and matched against all previously seen docs via the
@@ -340,7 +356,12 @@ def neardup_stream_writer(
 
     - ``keys/`` is partitioned by ``pmod(key, n_buckets)``; a batch
       reads ONLY the buckets its own keys hash to (partition-pruned —
-      files in untouched buckets are never opened).
+      files in untouched buckets are never opened). Size ``n_buckets``
+      to the store, not the batch: roughly ``store_rows_bytes /
+      target_file_bytes`` after compaction (each bucket is one file per
+      batch generation) — more buckets prune finer but cost listing
+      overhead, so small deployments keep the default and 100 TB
+      deployments raise it with the store.
     - ``counts/`` holds per-batch (band, key, n) COUNT DELTAS in the
       same bucket layout; hot-key detection sums deltas for the touched
       buckets instead of recounting the whole key store. Keys whose
@@ -387,6 +408,7 @@ def neardup_stream_writer(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _enable_batch_aqe(spark)
         bid = int(batch_id)
         shingles = shingle_hash_frame(
             batch_df, id_col, words_col, shingle_n
@@ -428,11 +450,19 @@ def neardup_stream_writer(
             hist_cnt = spark.createDataFrame([], cnt_schema)
         # re-ingest guard: identical content re-ingested under a seen
         # doc_id hashes to the same (band, key) rows, so its history is
-        # fully inside the touched buckets — drop it from the batch
-        seen = hist.select("doc_id").distinct()
-        brows_new = brows.join(seen, "doc_id", "left_anti").persist()
-        shingles_new = shingles.join(seen, "doc_id", "left_anti").persist()
-        delta = brows_new.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        # fully inside the touched buckets — drop it from the batch.
+        # First batch short-circuits (nothing can be seen yet).
+        if has_history:
+            seen = hist.select("doc_id").distinct().persist()
+            brows_new = brows.join(seen, "doc_id", "left_anti").persist()
+            shingles_new = shingles.join(seen, "doc_id", "left_anti").persist()
+        else:
+            seen = None
+            brows_new = brows
+            shingles_new = shingles
+        delta = (
+            brows_new.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")).persist()
+        )
         if bucket_cap is not None:
             # cumulative per-key counts = prior deltas (touched buckets
             # only) + this batch's delta — never a recount of the store
@@ -467,7 +497,11 @@ def neardup_stream_writer(
         # exact verification needs shingles only for the candidates'
         # historical members: prune the shingle store to their buckets,
         # then semi-join down to exactly those docs
-        persisted = [shingles, brows, brows_new, shingles_new, cands, hist]
+        persisted = [
+            df
+            for df in (shingles, brows, brows_new, shingles_new, cands, hist, seen, delta)
+            if df is not None
+        ]
         if has_history:  # keys/ and shingles/ are written together
             cand_ids = (
                 cands.select(F.col("doc_a").alias("doc_id"))
@@ -488,12 +522,10 @@ def neardup_stream_writer(
         else:
             hist_sh = spark.createDataFrame([], shingles.schema)
         pairs = jaccard_verify(cands, hist_sh.unionByName(shingles_new), threshold)
-        (
-            pairs.withColumn(_BATCH_COL, F.lit(bid))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(_BATCH_COL)
-            .parquet(pairs_path)
+        # static overwrite of this batch's own partition dir — replay-safe
+        # without the dynamic-overwrite listing (see _write_bucketed)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
         )
         _write_bucketed(brows_new, keys_dir, bid, key_bucket)
         _write_bucketed(delta, cnt_dir, bid, key_bucket)
@@ -511,9 +543,7 @@ def neardup_stream_writer(
     )
 
 
-def neardup_compact(
-    spark: SparkSession, store_path: str, compact_path: str, n_buckets: int = 64
-) -> None:
+def neardup_compact(spark: SparkSession, store_path: str, compact_path: str) -> None:
     """Fold a near-dup stream's per-batch store partitions into a single
     ``batch_id=-1`` generation per bucket: key and shingle rows are
     rewritten as-is, count DELTAS are summed into one row per (band,
