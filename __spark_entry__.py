@@ -862,6 +862,55 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (textops.stratified_sample):
+    the 5 docs per source with the smallest md5(doc_id) — md5 is
+    byte-identical in every engine, so the oracle reproduces the EXACT
+    same sample (the property a train/eval split needs)."""
+    from sketchlib.textops import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, ["source"], "doc_id", 5)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (textops.scrub_pii) on a planted corpus: every
+    3rd doc carries an email, every 5th a phone number — counts are
+    closed-form in the row id and the scrubbed text must contain no
+    pattern match. Pure JVM regexp expressions; patterns chosen for
+    identical java.util.regex / RE2 semantics."""
+    from sketchlib.textops import PII_EMAIL, PII_PHONE, scrub_pii
+
+    n = 400
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc "),
+            F.col("id").cast("string"),
+            F.when(
+                F.col("id") % 3 == 0,
+                F.concat(F.lit(" contact a"), F.col("id").cast("string"), F.lit("@ex.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = scrub_pii(base, "text")
+    leftover = F.size(
+        F.regexp_extract_all(F.col("clean_text"), F.lit(PII_EMAIL), F.lit(0))
+    ) + F.size(F.regexp_extract_all(F.col("clean_text"), F.lit(PII_PHONE), F.lit(0)))
+    return scrubbed.select(
+        F.lit(1).alias("g"),
+        "n_emails",
+        "n_phones",
+        (leftover == 0).alias("clean"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.min("clean").alias("all_clean"),
+    ).drop("g")
+
+
 def q_bloom_len_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom len() cardinality estimate (bloomfilter.rs:296-304,
     -m/k * ln(1 - X/m)): per event_type, the estimate must land within
@@ -1945,6 +1994,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_resolved_strings": q_topk_resolved_strings,
     "decontamination": q_decontamination,
     "quality_rules": q_quality_rules,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
     "bloom_len_estimate": q_bloom_len_estimate,
     "tdigest_cdf_quantity": q_tdigest_cdf_quantity,
     "cuckoo_filter_ops": q_cuckoo_filter_ops,
@@ -2174,6 +2225,25 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cnt DESC, word ASC
                 LIMIT 5
             )
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        "pii_scrub": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS total_emails,
+                   CAST(SUM(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS total_phones,
+                   TRUE AS all_clean
+            FROM range(400) t(i)
         """,
         "quality_rules": """
             WITH w AS (

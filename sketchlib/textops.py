@@ -445,3 +445,54 @@ def quality_mask(
         & (F.col("n_alpha_words") * 100 >= min_alpha_frac_pct * n)
         & (F.col("n_stopwords") >= min_stopwords)
     )
+
+
+# ------------------------------------------------- deterministic sampling
+
+def stratified_sample(
+    df: DataFrame, group_cols: list[str], id_col: str, n_per_group: int
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows per
+    group with the smallest ``md5(id)`` (md5 is available and
+    byte-identical in every engine, so the SAME sample is reproducible
+    anywhere — the property a train/eval split needs). One shuffle on
+    the group key; Spark's WindowGroupLimit pushes the top-N below the
+    sort at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------- PII scrubbing
+
+# deliberately simple patterns with IDENTICAL semantics in java.util.regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds ``n_emails, n_phones`` (match counts) and ``clean_text``
+    (matches replaced with [EMAIL]/[PHONE]) — pure JVM expressions
+    (regexp_extract_all / regexp_replace), no Python in the plan.
+    Patterns are the standard simple forms; swap in stricter ones per
+    deployment policy."""
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), F.lit(0))
+    return df.withColumn("n_emails", F.size(emails)).withColumn(
+        "n_phones",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PHONE), F.lit(0))),
+    ).withColumn(
+        "clean_text",
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+    )

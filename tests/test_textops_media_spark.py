@@ -262,3 +262,46 @@ class TestQualityRules:
         assert (r.n_words, r.word_chars, r.n_alpha_words, r.n_stopwords, r.max_word_len) == (
             2, 6, 2, 1, 3
         )
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_sized(self, spark):
+        from sketchlib.textops import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 4}") for i in range(200)], "doc_id long, grp string"
+        )
+        a = sorted(map(tuple, stratified_sample(df, ["grp"], "doc_id", 7).collect()))
+        b = sorted(map(tuple, stratified_sample(df, ["grp"], "doc_id", 7).collect()))
+        assert a == b
+        per = {}
+        for i, g in a:
+            per[g] = per.get(g, 0) + 1
+        assert per == {f"g{k}": 7 for k in range(4)}
+
+    def test_small_groups_kept_whole(self, spark):
+        from sketchlib.textops import stratified_sample
+
+        df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, grp string")
+        assert stratified_sample(df, ["grp"], "doc_id", 10).count() == 2
+
+
+class TestScrubPII:
+    def test_counts_and_redaction(self, spark):
+        from sketchlib.textops import scrub_pii
+
+        rows = [
+            (1, "mail me at jane.doe+x@corp.example.org now"),
+            (2, "call 555-867-5309 or 111-222-3333"),
+            (3, "clean text with no pii at all"),
+            (4, "both: a@b.io and 999-888-7777"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in scrub_pii(df, "text").collect()}
+        assert (got[1].n_emails, got[1].n_phones) == (1, 0)
+        assert (got[2].n_emails, got[2].n_phones) == (0, 2)
+        assert (got[3].n_emails, got[3].n_phones) == (0, 0)
+        assert (got[4].n_emails, got[4].n_phones) == (1, 1)
+        assert "[EMAIL]" in got[1].clean_text and "@" not in got[1].clean_text.replace("[EMAIL]", "")
+        assert got[2].clean_text.count("[PHONE]") == 2
+        assert got[3].clean_text == rows[2][1]
