@@ -1582,6 +1582,153 @@ def _cached_stream_src(tag: str, sf_dir: str, table: str, build_into) -> str:
     return src
 
 
+def _events_stream_src(spark: SparkSession, sf_dir: str, ev) -> str:
+    """Shared micro-batch source for event-time streaming queries:
+    the events table sorted into 4 TIME-CONTIGUOUS segment files (real
+    event-time arrival order — arbitrary part files each spanning the
+    whole range would advance the watermark past every open window on
+    batch 1 and drop the rest as stragglers), cached via
+    :func:`_cached_stream_src`, plus two far-future sentinel files that
+    push the watermark past every real window/session so state
+    finalizes. Harness prep only (KB-MB of rows), not an engine path."""
+    import datetime as _dt
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    def build_segments(build: str) -> None:
+        pdf = ev.select("ts", "user_id", "event_type").orderBy("ts").toPandas()
+        n_seg = 4
+        seg = max(1, -(-len(pdf) // n_seg))
+        for i in range(n_seg):
+            chunk = pdf.iloc[i * seg : (i + 1) * seg]
+            if len(chunk):
+                tbl = _pa.Table.from_pandas(chunk, preserve_index=False)
+                # pandas emits ns-precision timestamps; Spark's parquet
+                # reader wants us
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("ts"),
+                    "ts",
+                    tbl["ts"].cast(_pa.timestamp("us")),
+                )
+                seg_path = os.path.join(build, f"b{i:03d}.parquet")
+                _pq.write_table(tbl, seg_path)
+                # the file source orders micro-batches by mtime; force
+                # strictly ascending mtimes so time-contiguous segments
+                # can never arrive out of order (same-ms writes tie)
+                os.utime(seg_path, (1_700_000_000 + i * 10,) * 2)
+
+    src = _cached_stream_src("winstream_src", sf_dir, "events.parquet", build_segments)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # sentinels rewritten each run (deterministic content); their fresh
+    # mtimes are always newer than the cached segments' pinned ones
+    for j, days in enumerate((40, 80)):
+        _pq.write_table(
+            _pa.table(
+                {
+                    "ts": _pa.array(
+                        [max_ts + _dt.timedelta(days=days)], type=_pa.timestamp("us")
+                    ),
+                    "user_id": _pa.array([-1], type=_pa.int64()),
+                    "event_type": _pa.array(["__sentinel__"]),
+                }
+            ),
+            os.path.join(src, f"zz{j}.parquet"),
+        )
+    return src
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows as a custom stateful streaming
+    operator (streaming.session_sketch_stream): events stream through
+    1-hour-gap sessions per event_type; sessions closed by newer data
+    emit immediately, open ones finalize exactly once on watermark
+    timeout (sentinel batches flush the tail). The oracle re-derives
+    the same sessionization in SQL (lag + running sum; splits only on
+    lag STRICTLY greater than the gap — verified native session_window
+    boundary semantics). Reported per type: session count, total and
+    max session sizes, plus driver-checked booleans that every
+    finalized session's n_updates equals its exact row count and its
+    HLL user estimate is within the published 4-sigma bound of the
+    session's exact distinct count (exact side computed batch-side with
+    native F.session_window)."""
+    import tempfile as _tempfile
+
+    from sketchlib.estimates import hll_count
+    from sketchlib.hll import HLL
+    from sketchlib.streaming import session_sketch_stream
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    _ensure_workers(spark)
+    ev = _t(spark, sf_dir, "events")
+    src = _events_stream_src(spark, sf_dir, ev)
+    ckpt = _tempfile.mkdtemp(prefix="sessstream_ckpt_")
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    out = session_sketch_stream(
+        stream,
+        "ts",
+        ["event_type"],
+        [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})],
+        gap="1 hour",
+        watermark_delay="30 seconds",
+    )
+    name = f"sess_sink_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.table(name).filter(F.col("event_type") != "__sentinel__").persist()
+    streamed.count()
+    # exact per-session truth, batch-side with the NATIVE sessionizer
+    exact = (
+        ev.groupBy("event_type", F.session_window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.countDistinct("user_id").alias("distinct_exact"),
+        )
+        .select("event_type", F.col("w.start").alias("session_start"), "n_exact", "distinct_exact")
+    )
+    sigma = 1.04 / math.sqrt(1 << HLL_P)
+    joined = (
+        streamed.join(exact, ["event_type", "session_start"], "full")
+        .withColumn("est", hll_count("state"))
+        .withColumn(
+            "sess_ok",
+            F.col("n_updates").isNotNull()
+            & F.col("n_exact").isNotNull()
+            & (F.col("n_updates") == F.col("n_exact")),
+        )
+        .withColumn(
+            "hll_ok",
+            F.abs(F.col("est") - F.col("distinct_exact"))
+            <= F.lit(4.0 * sigma) * F.col("distinct_exact") + F.lit(1.0),
+        )
+    )
+    res = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_exact").cast("long").alias("total_events"),
+        F.max("n_exact").cast("long").alias("max_session_events"),
+        F.min("sess_ok").alias("stream_ok"),
+        F.min("hll_ok").alias("hll_ok"),
+    )
+    rows = res.collect()
+    streamed.unpersist()
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed sketches as a stateful streaming operator
     (streaming.windowed_sketch_stream: applyInPandasWithState +
@@ -1611,45 +1758,7 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = 7 * 24 * 3600
     ckpt = _tempfile.mkdtemp(prefix="winstream_ckpt_")
     ev = _t(spark, sf_dir, "events")
-
-    def build_segments(build: str) -> None:
-        # micro-batch files must be TIME-CONTIGUOUS segments (real
-        # event-time arrival order): feeding arbitrary part files that
-        # each span the whole time range would advance the watermark
-        # past every open window on batch 1 and drop the rest as
-        # stragglers. Harness prep only (KB-MB of rows), not an engine
-        # path: sort driver-side and cut into 4 ordered files.
-        pdf = ev.select("ts", "user_id", "event_type").orderBy("ts").toPandas()
-        n_seg = 4
-        seg = max(1, -(-len(pdf) // n_seg))
-        for i in range(n_seg):
-            chunk = pdf.iloc[i * seg : (i + 1) * seg]
-            if len(chunk):
-                tbl = _pa.Table.from_pandas(chunk, preserve_index=False)
-                # pandas emits ns-precision timestamps; Spark's parquet
-                # reader wants us
-                tbl = tbl.set_column(
-                    tbl.schema.get_field_index("ts"),
-                    "ts",
-                    tbl["ts"].cast(_pa.timestamp("us")),
-                )
-                _pq.write_table(tbl, os.path.join(build, f"b{i:03d}.parquet"))
-
-    src = _cached_stream_src("winstream_src", sf_dir, "events.parquet", build_segments)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    for j, days in enumerate((40, 80)):
-        _pq.write_table(
-            _pa.table(
-                {
-                    "ts": _pa.array(
-                        [max_ts + _dt.timedelta(days=days)], type=_pa.timestamp("us")
-                    ),
-                    "user_id": _pa.array([-1], type=_pa.int64()),
-                    "event_type": _pa.array(["__sentinel__"]),
-                }
-            ),
-            os.path.join(src, f"zz{j}.parquet"),
-        )
+    src = _events_stream_src(spark, sf_dir, ev)
     schema = StructType(
         [
             StructField("ts", TimestampType()),
@@ -1770,8 +1879,9 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation: native ``F.session_window`` (6 h
     inactivity gap) sessionizes each user's events; per-user session
     stats are exact and SQL-checkable (the oracle re-derives sessions
-    with lag + running-sum; a gap of EXACTLY 6 h starts a new session
-    in both, matching Spark's exclusive window end). A global KLL(k=200)
+    with lag + running-sum; Spark merges sessions whose windows TOUCH —
+    a lag of exactly the gap still extends — so the oracle splits only
+    on lag STRICTLY greater than the gap). A global KLL(k=200)
     sketch over all session sizes checks q50/q90 with a tie-aware rank
     band: sizes are small ints with heavy ties, so the correct
     assertion is rank(<v) - eps <= q <= rank(<=v) + eps, not
@@ -2004,6 +2114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_state_equivalence": q_streaming_state_equivalence,
     "ctor_goldens": q_ctor_goldens,
     "windowed_stream_watermark": q_windowed_stream_watermark,
+    "streaming_sessions": q_streaming_sessions,
     "ivf_topk_recall": q_ivf_topk_recall,
     "semantic_dedup_recall": q_semantic_dedup_recall,
     "rollup_merge_up": q_rollup_merge_up,
@@ -2367,6 +2478,36 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_recall": """
             SELECT CAST(5 * 10 AS BIGINT) AS n_exact, TRUE AS recall_ok
         """,
+        "streaming_sessions": """
+            WITH m AS (
+                SELECT event_type, ts,
+                       LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, ts,
+                       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS new_s
+                FROM m
+            ),
+            sid AS (
+                SELECT event_type, ts,
+                       SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                FROM s
+            ),
+            sess AS (
+                SELECT event_type, sess, COUNT(*) AS n_events
+                FROM sid GROUP BY event_type, sess
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS total_events,
+                   CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+                   TRUE AS stream_ok,
+                   TRUE AS hll_ok
+            FROM sess GROUP BY event_type
+        """,
         "windowed_stream_watermark": """
             SELECT CAST(FLOOR(EPOCH(ts) / 604800) * 604800 AS BIGINT) AS win_start,
                    event_type,
@@ -2497,7 +2638,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts,
-                       CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 6 HOUR
+                       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 6 HOUR
                             THEN 1 ELSE 0 END AS new_s
                 FROM m
             ),

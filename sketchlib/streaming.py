@@ -591,3 +591,175 @@ def neardup_clusters(
     return connected_components(
         neardup_pairs(spark, pairs_path), "doc_a", "doc_b", checkpoint_dir=checkpoint_dir
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time SESSION windows (applyInPandasWithState + gap timeout)
+# ---------------------------------------------------------------------------
+
+
+def session_sketch_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    specs: list["SketchSpec"],
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 seconds",
+):
+    """Event-time SESSION windows of sketch states as a custom stateful
+    operator — the sessionization dual of :func:`windowed_sketch_stream`
+    (which covers tumbling/sliding windows). One OPEN session per key
+    lives in the state store as a KB-scale kernel blob; a row extends it
+    when ``ts - session_end <= gap`` (sessions whose windows TOUCH merge
+    — verified native ``session_window`` semantics: events at t and
+    t+gap share one session), else the closed
+    session is emitted immediately and a new one opens. The open session
+    finalizes exactly once when the watermark passes ``session_end +
+    gap + watermark_delay`` (event-time timeout); stragglers beyond the
+    watermark are dropped explicitly, so an emitted session can never
+    resurrect.
+
+    Ordering contract: rows within a batch are sorted by event time
+    before processing; across batches the operator assumes arrival is
+    in event-time order up to ``watermark_delay`` (the same contract
+    any incremental sessionizer without retro-merge makes — rows later
+    than that are dropped by the watermark anyway).
+
+    Output rows: ``key_cols..., session_start, session_end (last event
+    time), sketch, state, n_updates`` — readable by the same estimate
+    UDFs as batch states.
+    """
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from .agg import _NUMERIC_KINDS, _resolve_specs, load_state
+    from .hashing import unique_counts
+
+    hashed, rspecs = _resolve_specs(stream_df, specs)
+    # all event-time arithmetic in MICROSECONDS (the column's native
+    # precision — ms truncation would corrupt session_start as a join
+    # key against batch session_window output); the state API's
+    # watermark/timeout surface stays in ms and is converted at the edge
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    delay_us = int(pd.Timedelta(watermark_delay).total_seconds() * 1_000_000)
+    keyed = hashed.withWatermark(ts_col, watermark_delay)
+    out_fields = [
+        *[keyed.schema[c] for c in key_cols],
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("sketch", StringType(), False),
+        StructField("state", BinaryType(), False),
+        StructField("n_updates", LongType(), False),
+    ]
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("pkl", BinaryType(), True)])
+    specs_payload = [(s.name, s.kind, s.col, dict(s.params), s.weight_col) for s in rspecs]
+
+    def emit_frame(key, start_us: int, end_us: int, kernels: dict) -> pd.DataFrame:
+        rows = {}
+        for i, c in enumerate(key_cols):
+            rows[c] = [key[i]] * len(specs_payload)
+        rows["session_start"] = [pd.Timestamp(start_us, unit="us")] * len(specs_payload)
+        rows["session_end"] = [pd.Timestamp(end_us, unit="us")] * len(specs_payload)
+        rows["sketch"] = [name for name, *_ in specs_payload]
+        rows["state"] = [kernels[name][0] for name, *_ in specs_payload]
+        rows["n_updates"] = [kernels[name][1] for name, *_ in specs_payload]
+        return pd.DataFrame(rows)
+
+    def fresh_kernels():
+        from .agg import KERNELS
+
+        return {
+            name: (KERNELS[kind](**params).to_bytes(), 0)
+            for name, kind, _, params, _ in specs_payload
+        }
+
+    def update_kernels(kernels: dict, pdf: pd.DataFrame) -> dict:
+        live = {name: load_state(blob) for name, (blob, _) in kernels.items()}
+        counts = {name: n for name, (_, n) in kernels.items()}
+        for name, kind, col, params, wcol in specs_payload:
+            vals = pdf[col].dropna()
+            if not len(vals):
+                continue
+            k = live[name]
+            if kind in _NUMERIC_KINDS:
+                if kind == "tdigest" and wcol is not None:
+                    if (pdf[col].isna() != pdf[wcol].isna()).any():
+                        raise ValueError(f"weight col {wcol} nulls misaligned with {col}")
+                    aligned = pdf[[col, wcol]].dropna()
+                    k.update(
+                        aligned[col].to_numpy(dtype="float64"),
+                        aligned[wcol].to_numpy(dtype="float64"),
+                    )
+                    counts[name] += len(aligned)
+                    continue
+                k.update(vals.to_numpy(dtype="float64"))
+            else:
+                v = vals.to_numpy(dtype="int64")
+                if kind == "lossy":
+                    k.update(v)
+                else:
+                    k.update_unique(*unique_counts(v))
+            counts[name] += len(vals)
+        return {name: (live[name].to_bytes(), counts[name]) for name in live}
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (pkl,) = state.get
+            start_us, end_us, kernels = pickle.loads(bytes(pkl))
+            state.remove()
+            yield emit_frame(key, start_us, end_us, kernels)
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # datetime64[ns] -> microseconds (native precision of the data)
+        ts_us = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        keep = ts_us >= wm_us  # straggler drop: emitted sessions never resurrect
+        pdf, ts_us = pdf[keep], ts_us[keep]
+        if not len(pdf):
+            return
+        order = np.argsort(ts_us, kind="stable")
+        pdf, ts_us = pdf.iloc[order], ts_us[order]
+        open_sess = (
+            pickle.loads(bytes(state.get[0])) if state.exists else None
+        )  # (start_ms, end_ms, kernels)
+        # split the sorted batch into session segments (inclusive gap:
+        # a difference of exactly gap_ms still extends, matching Spark)
+        new_seg = np.zeros(len(ts_us), dtype=bool)
+        new_seg[0] = True
+        if len(ts_us) > 1:
+            new_seg[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        seg_ids = np.cumsum(new_seg)
+        for seg in range(1, int(seg_ids[-1]) + 1):
+            mask = seg_ids == seg
+            seg_pdf = pdf[mask]
+            s0, s1 = int(ts_us[mask][0]), int(ts_us[mask][-1])
+            if open_sess is not None and s0 - open_sess[1] <= gap_us:
+                open_sess = (
+                    min(open_sess[0], s0),
+                    max(open_sess[1], s1),
+                    update_kernels(open_sess[2], seg_pdf),
+                )
+            else:
+                if open_sess is not None:  # closed by this newer segment
+                    yield emit_frame(key, open_sess[0], open_sess[1], open_sess[2])
+                open_sess = (s0, s1, update_kernels(fresh_kernels(), seg_pdf))
+        state.update((pickle.dumps(open_sess),))
+        timeout_ms = -(-(open_sess[1] + gap_us + delay_us) // 1000)  # ceil to ms
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
