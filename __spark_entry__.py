@@ -1680,7 +1680,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap="1 hour",
         watermark_delay="30 seconds",
     )
-    name = f"sess_sink_{abs(hash(sf_dir)) % 10**8}"
+    # unique per call: a repeated run in the same session (bench
+    # resampling) must not read a stale sink view of the same name
+    import uuid as _uuid
+
+    name = f"sess_sink_{_uuid.uuid4().hex[:12]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)

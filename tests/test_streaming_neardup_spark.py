@@ -243,3 +243,62 @@ def test_stream_clusters_match_batch(spark):
         assert streamed == batch and streamed
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_resume_after_compaction(spark):
+    """Maintenance contract: stop the stream, fold the store with
+    neardup_compact, swap it in, resume from the same checkpoint —
+    continued matching against the compacted history must yield exactly
+    the batch answer (compacted generations join with live batches)."""
+    from sketchlib.streaming import neardup_compact
+
+    docs = _docs(spark, n=160)
+    root = tempfile.mkdtemp(prefix="sk_neardup_resume_")
+    try:
+        src = os.path.join(root, "src")
+        docs.repartition(4).write.parquet(src)
+        store = os.path.join(root, "store")
+        pairs = os.path.join(root, "pairs")
+        ckpt = os.path.join(root, "ckpt")
+
+        def start(max_files):
+            sdf = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("maxFileAge", "7d")
+                .parquet(src)
+            )
+            return neardup_stream_writer(
+                sdf, "doc_id", "words", store, pairs, ckpt, threshold=0.5
+            ).trigger(availableNow=True).start()
+
+        # phase 1: ingest everything available so far
+        q = start(1)
+        q.awaitTermination(600)
+        # compact and swap the store between runs
+        compacted = os.path.join(root, "store_c")
+        neardup_compact(spark, store, compacted)
+        shutil.move(store, os.path.join(root, "store_old"))
+        shutil.move(compacted, store)
+        # phase 2: new docs arrive (ids disjoint from phase 1)
+        extra_rows = []
+        for i in range(160, 200):
+            words = [f"w{(i * 13 + j) % 50}" for j in range(30)]
+            extra_rows.append((f"d{i:04d}", words))
+            if i % 7 == 0:
+                extra_rows.append((f"e{i:04d}", words[:-2] + ["x1", "x2"]))
+        extra = spark.createDataFrame(extra_rows, docs.schema)
+        extra.repartition(2).write.mode("append").parquet(src)
+        q = start(1)
+        q.awaitTermination(600)
+        streamed = {
+            (r.doc_a, r.doc_b) for r in neardup_pairs(spark, pairs).collect()
+        }
+        all_docs = docs.unionByName(extra)
+        batch = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_neardup_pairs(all_docs, "doc_id", "words", threshold=0.5).collect()
+        }
+        assert streamed == batch and streamed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
