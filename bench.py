@@ -335,6 +335,20 @@ def main() -> None:
             mod.queries()["hll_distinct_users_per_event_type"](spark, warm_dir).collect()
         except Exception:
             pass
+        # pre-build the deterministic stream-source caches (harness
+        # prep, not engine work) so the streaming queries' first sample
+        # measures the operator, not one-time segment-file construction
+        try:
+            mod._events_stream_src(spark, sf_dir, mod._t(spark, sf_dir, "events"))
+            docs = mod._words(mod._t(spark, sf_dir, "documents")).select("doc_id", "words")
+            mod._cached_stream_src(
+                "ndstream_src",
+                sf_dir,
+                "documents.parquet",
+                lambda b: docs.repartition(4).write.mode("overwrite").parquet(b),
+            )
+        except Exception:
+            pass
         qfns = mod.queries()
         samples: dict[str, list[float]] = {}
 

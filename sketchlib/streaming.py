@@ -318,10 +318,12 @@ def _write_bucketed(df: DataFrame, path: str, bid: int, bucket_expr) -> None:
     directory (exactly-once) without the dynamic-overwrite commit
     protocol, whose partition listing grows with the whole store. Rows
     are hash-repartitioned by bucket first so each bucket gets exactly
-    one file per batch."""
+    one file per batch (each bucket hashes to exactly one task; AQE
+    coalesces the tiny ones, so write parallelism follows batch size
+    instead of a fixed task count)."""
     (
         df.withColumn(_BUCKET_COL, bucket_expr.cast("int"))
-        .repartition(8, F.col(_BUCKET_COL))
+        .repartition(F.col(_BUCKET_COL))
         .write.mode("overwrite")
         .partitionBy(_BUCKET_COL)
         .parquet(os.path.join(path, f"{_BATCH_COL}={int(bid)}"))
