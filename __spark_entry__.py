@@ -2084,7 +2084,99 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate scoring: corpus-wide adjacent-pair counts
+    (sketchlib.tokenops.pair_counts — the counting half of Sennrich
+    BPE), top 40 by (count desc, pair asc). The merge-apply half
+    (bpe_merge_step / bpe_train, vectorized Arrow rewrite over token
+    arrays) is pytest-verified against a pure-python reference —
+    alternating-run merge semantics aren't SQL-expressible."""
+    from sketchlib.tokenops import pair_counts
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    return (
+        pair_counts(docs, "words")
+        .orderBy(F.desc("cnt"), F.asc("t1"), F.asc("t2"))
+        .limit(40)
+        .select(F.col("t1").alias("w1"), F.col("t2").alias("w2"), "cnt")
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup (Raffel et al. §2.2): drop every
+    5-word segment whose exact text occurred earlier in the corpus,
+    reassemble docs from surviving segments. Output pins the exact
+    reconstruction via md5(clean_text)."""
+    from sketchlib.dedup import segment_dedup
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    out = segment_dedup(docs, "doc_id", "words", seg_words=5)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_fp"),
+    )
+
+
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha=0.5, scale=3):
+    per-source target floor(sqrt(9n)) docs kept by smallest md5(id) —
+    the deterministic subset any engine reproduces bit-identically.
+    kept_id_sum pins WHICH docs were kept, not just how many."""
+    from sketchlib.tokenops import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "source", "doc_id", alpha=0.5, scale=3.0)
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("kept_id_sum")
+    )
+    inputs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    targets = inputs.withColumn(
+        "n_target",
+        F.least(F.col("n_input"), F.floor(F.sqrt(F.col("n_input") * F.lit(9.0)))),
+    )
+    return targets.join(kept_stats, "source", "left").select(
+        "source",
+        "n_input",
+        "n_target",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
+    )
+
+
+def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality filter with an integer-exact score:
+    reference LM = bigrams of the doc_id%37==0 slice; per doc count
+    bigram occurrences unseen in the reference, flag docs with >60%
+    unseen (cross-multiplied integer comparison). The float add-k
+    log-perplexity twin (tokenops.perplexity_score) is pytest-verified
+    against numpy — float sum order isn't hash-comparable."""
+    from sketchlib.tokenops import bigram_counts, novelty_signals
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    ref_grams = bigram_counts(docs.filter(F.col("doc_id") % 37 == 0), "words")
+    sig = novelty_signals(docs, "doc_id", "words", ref_grams)
+    return (
+        docs.select("doc_id", "source")
+        .join(sig, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.sum("n_unseen").alias("sum_unseen"),
+            F.sum(
+                F.when(F.col("n_unseen") * 1000 > 600 * F.col("n_bigrams"), 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "segment_dedup": q_segment_dedup,
+    "source_mixing": q_source_mixing,
+    "lm_novelty": q_lm_novelty,
     "hll_distinct_words_per_source": q_hll_distinct_words_per_source,
     "hll_distinct_users_per_event_type": q_hll_distinct_users_per_event_type,
     "cms_word_freq": q_cms_word_freq,
@@ -2147,6 +2239,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_pair_counts": """
+            WITH p AS (
+                SELECT words[i] AS w1, words[i+1] AS w2
+                FROM (SELECT string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 1, 0) + 1)) AS t(i)
+            )
+            SELECT w1, w2, COUNT(*) AS cnt
+            FROM p GROUP BY w1, w2
+            ORDER BY cnt DESC, w1 ASC, w2 ASC
+            LIMIT 40
+        """,
+        "segment_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            seg AS (
+                SELECT doc_id, i AS seg_idx,
+                       array_to_string(words[(i*5+1):(i*5+5)], ' ') AS seg
+                FROM w, UNNEST(range(0, (len(words) + 4) // 5)) AS t(i)
+            ),
+            r AS (
+                SELECT doc_id, seg_idx, seg,
+                       ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                FROM seg
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(COALESCE(
+                       string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                       ''
+                   )) AS clean_fp
+            FROM r GROUP BY doc_id
+        """,
+        "source_mixing": """
+            WITH counts AS (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+            ),
+            t AS (
+                SELECT source, n,
+                       LEAST(n, CAST(FLOOR(SQRT(9.0 * n)) AS BIGINT)) AS target
+                FROM counts
+            ),
+            ranked AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            kept AS (
+                SELECT r.source, r.doc_id
+                FROM ranked r JOIN t USING (source)
+                WHERE r.rn <= t.target
+            )
+            SELECT t.source,
+                   CAST(t.n AS BIGINT) AS n_input,
+                   CAST(t.target AS BIGINT) AS n_target,
+                   CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+            FROM t LEFT JOIN kept k USING (source)
+            GROUP BY t.source, t.n, t.target
+        """,
+        "lm_novelty": """
+            WITH g AS (
+                SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, GREATEST(len(words) - 1, 0) + 1)) AS t(i)
+            ),
+            ref AS (SELECT DISTINCT w1, w2 FROM g WHERE doc_id % 37 = 0),
+            sig AS (
+                SELECT g.doc_id, COUNT(*) AS n_bigrams,
+                       SUM(CASE WHEN r.w1 IS NULL THEN 1 ELSE 0 END) AS n_unseen
+                FROM g LEFT JOIN ref r ON g.w1 = r.w1 AND g.w2 = r.w2
+                GROUP BY g.doc_id
+            )
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(n_bigrams), 0) AS BIGINT) AS sum_bigrams,
+                   CAST(COALESCE(SUM(n_unseen), 0) AS BIGINT) AS sum_unseen,
+                   CAST(SUM(CASE WHEN COALESCE(n_unseen, 0) * 1000
+                                      > 600 * COALESCE(n_bigrams, 0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+            FROM documents d LEFT JOIN sig USING (doc_id)
+            GROUP BY d.source
+        """,
         "hll_distinct_words_per_source": """
             SELECT source,
                    COUNT(DISTINCT w) AS distinct_words,

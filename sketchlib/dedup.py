@@ -558,3 +558,80 @@ def drop_near_duplicates(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------- segment-level dedup
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    seg_words: int = 5,
+) -> DataFrame:
+    """C4-style segment-level exact deduplication (Raffel et al., JMLR
+    2020 §2.2 dedup three-sentence spans; applied here to fixed
+    ``seg_words``-word segments because the corpus has no sentence
+    delimiters).
+
+    Splits each doc into non-overlapping ``seg_words``-word segments,
+    keeps only the globally FIRST occurrence of each distinct segment
+    text (ordered by (id, position) — deterministic in any engine),
+    and reassembles each doc from its surviving segments in order.
+
+    Returns ``(id, n_segments, n_kept, clean_text)`` — one row per
+    input doc; a doc whose every segment was seen earlier comes back
+    with ``n_kept = 0`` and an empty ``clean_text``.
+
+    Scale shape: the only wide ops are one shuffle on the segment text
+    (the first-occurrence window; at 100 TB hash the segment to a
+    64-bit key first and group on that) and one groupBy(id) to
+    reassemble. Documents never move whole — only (id, seg_idx,
+    segment) rows.
+    """
+    seq = F.col(words_col)
+    n_segs = F.ceil(F.size(seq) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(
+                F.slice(seq, i * seg_words + 1, seg_words), " "
+            ).alias("seg"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(F.when(F.size(seq) > 0, segs)).alias("s"),
+    ).select("__id", "s.seg_idx", "s.seg")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("__id", "seg_idx")
+    ranked = exploded.withColumn(
+        "__keep", F.row_number().over(w) == 1
+    )
+    return (
+        ranked.groupBy("__id")
+        .agg(
+            F.sum(F.when(F.col("seg").isNotNull(), 1).otherwise(0)).alias("n_segments"),
+            F.sum(F.when(F.col("__keep") & F.col("seg").isNotNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep") & F.col("seg").isNotNull(),
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("__id").alias(id_col), "n_segments", "n_kept", "clean_text")
+    )

@@ -1,0 +1,247 @@
+"""tokenops: BPE pair stats + merge, bigram LM scoring, temperature
+mixing, and segment-level dedup invariants."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from sketchlib import gen
+from sketchlib.dedup import segment_dedup
+from sketchlib.tokenops import (
+    bigram_counts,
+    bpe_merge_step,
+    bpe_train,
+    fit_bigram_lm,
+    novelty_signals,
+    pair_counts,
+    perplexity_score,
+    temperature_mix,
+    top_pair,
+)
+
+
+def _merge_ref(seq: list[int], t1: int, t2: int, new_id: int) -> list[int]:
+    """Reference left-to-right non-overlapping BPE merge."""
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == t1 and seq[i + 1] == t2:
+            out.append(new_id)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def test_pair_counts_matches_numpy(spark):
+    df = gen.sequences_df(spark, 200).select("doc_id", "tokens")
+    got = {
+        (r["t1"], r["t2"]): r["cnt"] for r in pair_counts(df, "tokens").collect()
+    }
+    ref = {}
+    batch = gen.ref_batch(np.arange(200))
+    toks = batch.column("tokens").to_pylist()
+    for seq in toks:
+        for a, b in zip(seq, seq[1:]):
+            ref[(a, b)] = ref.get((a, b), 0) + 1
+    assert got == ref
+
+
+@pytest.mark.parametrize(
+    "seqs,pair",
+    [
+        ([[1, 2, 3, 1, 2], [2, 3], [1], []], (1, 2)),
+        ([[7, 7, 7], [7, 7, 7, 7], [7]], (7, 7)),  # overlapping self-pair runs
+        ([[1, 2], [2, 1, 2, 1]], (2, 1)),
+        ([[5, 5, 5, 5, 5, 5, 5]], (5, 5)),
+    ],
+)
+def test_bpe_merge_step_matches_reference(spark, seqs, pair):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, tokens=s) for i, s in enumerate(seqs)],
+        "doc_id int, tokens array<bigint>",
+    ).repartition(1)  # one Arrow batch => exercises cross-sequence boundaries
+    out = bpe_merge_step(df, "tokens", pair[0], pair[1], 999)
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    for i, s in enumerate(seqs):
+        assert got[i] == _merge_ref(s, pair[0], pair[1], 999), (i, s)
+
+
+def test_bpe_merge_no_cross_sequence_pairs(spark):
+    # last token of doc 0 + first token of doc 1 form the pair ONLY
+    # across the boundary; nothing may merge
+    df = spark.createDataFrame(
+        [Row(doc_id=0, tokens=[1, 2, 3]), Row(doc_id=1, tokens=[4, 5])],
+        "doc_id int, tokens array<bigint>",
+    ).repartition(1)
+    out = bpe_merge_step(df, "tokens", 3, 4, 999)
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    assert got == {0: [1, 2, 3], 1: [4, 5]}
+
+
+def test_bpe_train_deterministic_and_correct(spark):
+    df = gen.sequences_df(spark, 120).select("tokens")
+    out, merges = bpe_train(df, "tokens", n_merges=3, first_new_id=1_000_000)
+    out2, merges2 = bpe_train(df, "tokens", n_merges=3, first_new_id=1_000_000)
+    assert merges == merges2 and len(merges) == 3
+    # python reference over the same corpus
+    seqs = gen.ref_batch(np.arange(120)).column("tokens").to_pylist()
+    ref_merges = []
+    for step in range(3):
+        cnt = {}
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        nid = 1_000_000 + step
+        ref_merges.append((a, b, nid))
+        seqs = [_merge_ref(s, a, b, nid) for s in seqs]
+        assert c >= 2
+    assert merges == ref_merges
+    got_total = out.select(F.sum(F.size("tokens"))).first()[0]
+    assert got_total == sum(len(s) for s in seqs)
+    out.unpersist()
+
+
+def test_novelty_signals_closed_form(spark):
+    # ref doc supplies bigrams (a,b) and (b,a); probe doc "a b c" has
+    # bigrams (a,b) seen and (b,c) unseen; short doc has none
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, words=["a", "b", "a"]),
+            Row(doc_id=1, words=["a", "b", "c"]),
+            Row(doc_id=2, words=["x"]),
+        ],
+        "doc_id int, words array<string>",
+    )
+    ref = bigram_counts(docs.filter("doc_id = 0"), "words")
+    sig = {
+        r["doc_id"]: (r["n_bigrams"], r["n_unseen"])
+        for r in novelty_signals(docs, "doc_id", "words", ref).collect()
+    }
+    assert sig == {0: (2, 0), 1: (2, 1), 2: (0, 0)}
+
+
+def test_perplexity_matches_numpy(spark):
+    docs = gen.sequences_df(spark, 80).select(
+        "doc_id", F.col("tokens").cast("array<bigint>").alias("words")
+    )
+    ref = docs.filter(F.xxhash64("doc_id") % 4 == 0)
+    bi, uni, v = fit_bigram_lm(ref, "words")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logppl"])
+        for r in perplexity_score(docs, "doc_id", "words", bi, uni, v, k=1.0).collect()
+    }
+    bi.unpersist()
+    # numpy oracle
+    rows = docs.select("doc_id", "words").collect()
+    ref_ids = {r["doc_id"] for r in ref.select("doc_id").collect()}
+    c2, c1, vocab = {}, {}, set()
+    for r in rows:
+        s = r["words"]
+        vocab.update(s) if r["doc_id"] in ref_ids else None
+        if r["doc_id"] in ref_ids:
+            for a, b in zip(s, s[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+    nv = len({w for r in rows if r["doc_id"] in ref_ids for w in r["words"]})
+    assert nv == v
+    for r in rows:
+        s = r["words"]
+        lps = [
+            -math.log2((c2.get((a, b), 0) + 1.0) / (c1.get(a, 0) + nv))
+            for a, b in zip(s, s[1:])
+        ]
+        n, val = got[r["doc_id"]]
+        assert n == len(lps)
+        assert val == pytest.approx(sum(lps) / len(lps), rel=1e-9)
+
+
+def test_temperature_mix_targets_and_determinism(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    kept = temperature_mix(docs, "source", "doc_id", alpha=0.5, scale=3.0)
+    per = {r["source"]: r["cnt"] for r in kept.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    # each source has 250 docs -> target floor(sqrt(9*250)) = 47
+    assert per == {f"s{i}": 47 for i in range(4)}
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in temperature_mix(docs, "source", "doc_id", 0.5, 3.0).collect()
+    )
+    assert ids1 == ids2
+    # flattening: a 16x bigger source gains only 4x the quota
+    docs2 = spark.range(4250).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4000, "big").otherwise("small").alias("source"),
+    )
+    per2 = {
+        r["source"]: r["cnt"]
+        for r in temperature_mix(docs2, "source", "doc_id", 0.5, 3.0)
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert per2["big"] == math.isqrt(9 * 4000) and per2["small"] == math.isqrt(9 * 250)
+
+
+def test_segment_dedup_planted(spark):
+    # doc 0 and doc 1 share their first 5-word segment exactly; doc 1's
+    # copy must drop, its unique tail must survive, reassembled in order
+    seg = "w1 w2 w3 w4 w5"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, words=(seg + " a b c d e").split(" ")),
+            Row(doc_id=1, words=(seg + " f g h i j k").split(" ")),
+            Row(doc_id=2, words=seg.split(" ")),
+        ],
+        "doc_id int, words array<string>",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, "doc_id", "words", 5).collect()}
+    assert (out[0]["n_segments"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["clean_text"] == seg + " a b c d e"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["clean_text"] == "f g h i j k"
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["clean_text"] == ""
+
+
+def test_segment_dedup_kept_segments_unique(spark):
+    docs = gen.sequences_df(spark, 150).select(
+        "doc_id", F.transform("tokens", lambda t: t.cast("string")).alias("words")
+    )
+    out = segment_dedup(docs, "doc_id", "words", seg_words=4)
+    segs = out.select(
+        F.explode(F.split("clean_text", " ")).alias("w")
+    )  # not segment-unique (words repeat) — instead re-segment kept text
+    # invariant: total kept == distinct segments over the corpus
+    resegmented = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size("words") / 4).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice("words", i * 4 + 1, 4), " "),
+                )
+            ).alias("seg")
+        )
+        .agg(F.countDistinct("seg"))
+        .first()[0]
+    )
+    assert out.agg(F.sum("n_kept")).first()[0] == resegmented
+    assert segs.count() > 0
+
+
+def test_top_pair_tiebreak(spark):
+    df = spark.createDataFrame(
+        [Row(tokens=[3, 4]), Row(tokens=[1, 2])], "tokens array<bigint>"
+    )
+    assert top_pair(pair_counts(df, "tokens")) == (1, 2, 1)
