@@ -2172,7 +2172,26 @@ def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: all docs' words concatenated
+    in doc_id order, re-chunked into 64-token training blocks
+    (tokenops.pack_sequences — two-phase global offset scan, per-doc
+    JVM slicing, one groupBy(block) assembly). md5(block text) pins the
+    exact content and ordering of every block."""
+    from sketchlib.tokenops import pack_sequences
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    blocks = pack_sequences(docs, "doc_id", "words", block_len=64)
+    return blocks.select(
+        "block_id",
+        "n_parts",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ").cast("binary")).alias("block_fp"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sequence_packing": q_sequence_packing,
     "bpe_pair_counts": q_bpe_pair_counts,
     "segment_dedup": q_segment_dedup,
     "source_mixing": q_source_mixing,
@@ -2239,6 +2258,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sequence_packing": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, words, n,
+                       CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS start
+                FROM w WHERE n > 0
+            ),
+            spans AS (
+                SELECT doc_id, words, n, start, b
+                FROM o, UNNEST(range(start // 64, (start + n - 1) // 64 + 1)) AS t(b)
+            ),
+            parts AS (
+                SELECT b AS block_id,
+                       GREATEST(b * 64, start) AS gs,
+                       words[(GREATEST(b * 64, start) - start + 1):
+                             (LEAST((b + 1) * 64, start + n) - start)] AS chunk
+                FROM spans
+            )
+            SELECT block_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(len(chunk)) AS BIGINT) AS n_tokens,
+                   md5(string_agg(array_to_string(chunk, ' '), ' ' ORDER BY gs))
+                       AS block_fp
+            FROM parts GROUP BY block_id
+        """,
         "bpe_pair_counts": """
             WITH p AS (
                 SELECT words[i] AS w1, words[i+1] AS w2

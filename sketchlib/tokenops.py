@@ -365,3 +365,122 @@ def temperature_mix(
         .filter(F.col("__rn") <= F.col("__target"))
         .drop("__rn", "__n", "__target")
     )
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def global_offsets(df: DataFrame, order_col: str, len_col, n_parts: int = 0) -> DataFrame:
+    """Exclusive global running sum of ``len_col`` in ``order_col``
+    order, WITHOUT a single-partition global window: range-partition
+    on the order key, cumsum within each partition, then add the
+    broadcast prefix of per-partition totals (the classic two-phase
+    scan — at 100 TB the only small data is one row per partition).
+
+    Adds ``__start`` (the row's exclusive prefix sum). ``len_col`` may
+    be a column name or expression.
+    """
+    from pyspark.sql import Window
+
+    if n_parts <= 0:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.withColumn("__len", F.lit(len_col) if isinstance(len_col, int) else len_col)
+    ranged = ranged.persist()
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum("__len").alias("__tot")).collect()
+    )
+    prefix = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        prefix[r["__pid"]] = acc
+        acc += r["__tot"]
+    pref_df = df.sparkSession.createDataFrame(
+        [(int(p), int(s)) for p, s in prefix.items()], "__pid int, __prefix bigint"
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        ranged.join(F.broadcast(pref_df), "__pid")
+        .withColumn(
+            "__start",
+            F.coalesce(F.sum("__len").over(w), F.lit(0)) + F.col("__prefix"),
+        )
+        .drop("__pid", "__prefix", "__len")
+    )
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    seq_col: str,
+    block_len: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all token arrays in
+    ``order_col`` (default ``id_col``) order and re-chunk into
+    fixed-``block_len`` blocks (the "concat and chunk" pretraining
+    batcher; see e.g. Brown et al. 2020 §2.3 / the standard causal-LM
+    data collator). Deterministic given the order column, so any
+    engine produces identical blocks.
+
+    Returns one row per block: ``(block_id, n_parts, n_tokens,
+    tokens)`` where ``n_parts`` is how many documents contributed and
+    the final block may be shorter than ``block_len``.
+
+    Scale shape: one range-shuffle for the global offset scan, then
+    each doc slices its own array into per-block chunks JVM-side
+    (docs spanning a block boundary emit one row per touched block —
+    at most ``n_tok/block_len + 1``), and one groupBy(block_id)
+    assembles. No tokens ever visit Python; nothing collects beyond
+    one row per partition.
+    """
+    order_col = order_col or id_col
+    L = int(block_len)
+    seq = F.col(seq_col)
+    with_off = global_offsets(
+        df.select(id_col, seq_col).filter(F.size(seq) > 0),
+        order_col,
+        F.size(seq).cast("bigint"),
+    )
+    start, n = F.col("__start"), F.size(seq).cast("bigint")
+    b0 = F.floor(start / L)
+    b1 = F.floor((start + n - 1) / L)
+    spans = with_off.select(
+        F.col(id_col),
+        start.alias("__s"),
+        n.alias("__n"),
+        seq.alias("__seq"),
+        F.explode(F.sequence(b0, b1)).alias("block_id"),
+    )
+    gs = F.greatest(F.col("block_id") * L, F.col("__s"))
+    ge = F.least((F.col("block_id") + 1) * L, F.col("__s") + F.col("__n"))
+    parts = spans.select(
+        "block_id",
+        gs.alias("__gs"),
+        F.slice(
+            "__seq", (gs - F.col("__s") + 1).cast("int"), (ge - gs).cast("int")
+        ).alias("__chunk"),
+    )
+    return (
+        parts.groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__gs", "__chunk"))),
+                    lambda s: s["__chunk"],
+                )
+            ).alias("tokens"),
+        )
+        .select(
+            "block_id",
+            "n_parts",
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+        )
+    )

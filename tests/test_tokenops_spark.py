@@ -245,3 +245,49 @@ def test_top_pair_tiebreak(spark):
         [Row(tokens=[3, 4]), Row(tokens=[1, 2])], "tokens array<bigint>"
     )
     assert top_pair(pair_counts(df, "tokens")) == (1, 2, 1)
+
+
+def test_pack_sequences_matches_numpy(spark):
+    from sketchlib.tokenops import pack_sequences
+
+    df = gen.sequences_df(spark, 300).select(
+        "doc_id", F.col("tokens").cast("array<bigint>").alias("tokens")
+    )
+    L = 128
+    got = {
+        r["block_id"]: (r["n_parts"], r["tokens"])
+        for r in pack_sequences(df, "doc_id", "tokens", L).collect()
+    }
+    seqs = gen.ref_batch(np.arange(300)).column("tokens").to_pylist()
+    flat = [t for s in seqs for t in s]
+    n_blocks = (len(flat) + L - 1) // L
+    assert set(got) == set(range(n_blocks))
+    # exact content of every block
+    for b in range(n_blocks):
+        assert got[b][1] == flat[b * L : (b + 1) * L], b
+    # n_parts: docs overlapping the block's span
+    starts = np.cumsum([0] + [len(s) for s in seqs])
+    for b in range(n_blocks):
+        lo, hi = b * L, min((b + 1) * L, len(flat))
+        n_parts = sum(
+            1
+            for i in range(len(seqs))
+            if starts[i] < hi and starts[i + 1] > lo
+        )
+        assert got[b][0] == n_parts, b
+    # every block full except possibly the last
+    for b in range(n_blocks - 1):
+        assert len(got[b][1]) == L
+
+
+def test_pack_sequences_skips_empty_docs(spark):
+    from sketchlib.tokenops import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, tokens=[1, 2, 3]), Row(doc_id=1, tokens=[]),
+         Row(doc_id=2, tokens=[4, 5])],
+        "doc_id int, tokens array<bigint>",
+    )
+    out = pack_sequences(df, "doc_id", "tokens", 4).orderBy("block_id").collect()
+    assert [r["tokens"] for r in out] == [[1, 2, 3, 4], [5]]
+    assert [r["n_parts"] for r in out] == [2, 1]
