@@ -2190,7 +2190,25 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + round-robin sharding
+    (tokenops.epoch_shuffle_shards): md5(epoch||id) permutation,
+    global rank via the two-phase scan, shard = rank % 8. Counts are
+    balanced to ±1 by construction; id_checksum pins the exact
+    assignment."""
+    from sketchlib.tokenops import epoch_shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = epoch_shuffle_shards(docs, "doc_id", n_shards=8, epoch=1)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "epoch_shards": q_epoch_shards,
     "sequence_packing": q_sequence_packing,
     "bpe_pair_counts": q_bpe_pair_counts,
     "segment_dedup": q_segment_dedup,
@@ -2258,6 +2276,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "epoch_shards": """
+            WITH r AS (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))
+                       ) - 1 AS rank
+                FROM documents
+            )
+            SELECT CAST(rank % 8 AS INTEGER) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM r GROUP BY 1
+        """,
         "sequence_packing": """
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS words,

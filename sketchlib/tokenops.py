@@ -484,3 +484,42 @@ def pack_sequences(
             "tokens",
         )
     )
+
+
+# ------------------------------------------------- epoch shuffle + shard
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + sharding: order docs by
+    ``md5(epoch || id)`` (a fresh pseudo-random permutation per epoch,
+    identical in any engine) and deal them round-robin into
+    ``n_shards`` shards — every shard's doc count is balanced to ±1
+    by construction, and a given (epoch, corpus) always produces the
+    same assignment, which is what resumable distributed training
+    needs from its data loader.
+
+    Adds ``__rank`` (0-based position in the shuffled order) and
+    ``shard`` (= rank % n_shards). The global rank reuses the
+    two-phase scan (:func:`global_offsets` with unit weights): one
+    range shuffle + a broadcast prefix of one row per partition — no
+    single-partition bottleneck at any corpus size.
+    """
+    keyed = df.withColumn(
+        "__shuffle_key",
+        F.md5(
+            F.concat(
+                F.lit(f"epoch{int(epoch)}:"), F.col(id_col).cast("string")
+            ).cast("binary")
+        ),
+    )
+    ranked = global_offsets(keyed, "__shuffle_key", F.lit(1).cast("bigint"))
+    return (
+        ranked.withColumn("__rank", F.col("__start"))
+        .withColumn("shard", (F.col("__rank") % n_shards).cast("int"))
+        .drop("__start", "__shuffle_key")
+    )

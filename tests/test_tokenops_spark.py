@@ -291,3 +291,51 @@ def test_pack_sequences_skips_empty_docs(spark):
     out = pack_sequences(df, "doc_id", "tokens", 4).orderBy("block_id").collect()
     assert [r["tokens"] for r in out] == [[1, 2, 3, 4], [5]]
     assert [r["n_parts"] for r in out] == [2, 1]
+
+
+def test_epoch_shuffle_shards_properties(spark):
+    from sketchlib.tokenops import epoch_shuffle_shards
+
+    docs = spark.range(103).select(F.col("id").alias("doc_id"))
+    sh = epoch_shuffle_shards(docs, "doc_id", n_shards=4, epoch=0)
+    rows = sh.collect()
+    # permutation: ranks are exactly 0..n-1
+    assert sorted(r["__rank"] for r in rows) == list(range(103))
+    # round-robin balance to +-1
+    per = {}
+    for r in rows:
+        per[r["shard"]] = per.get(r["shard"], 0) + 1
+    assert max(per.values()) - min(per.values()) <= 1 and set(per) == {0, 1, 2, 3}
+    # deterministic per epoch, different across epochs
+    again = {
+        r["doc_id"]: r["shard"]
+        for r in epoch_shuffle_shards(docs, "doc_id", 4, epoch=0).collect()
+    }
+    assert again == {r["doc_id"]: r["shard"] for r in rows}
+    other = {
+        r["doc_id"]: r["shard"]
+        for r in epoch_shuffle_shards(docs, "doc_id", 4, epoch=1).collect()
+    }
+    assert other != again
+
+
+def test_merge_pair_flat_property():
+    """Randomized cross-check of the vectorized merge kernel vs the
+    sequential reference, over many boundary-heavy layouts."""
+    from sketchlib.tokenops import _merge_pair_flat
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n_seq = int(rng.integers(1, 6))
+        seqs = [
+            list(rng.integers(0, 4, size=int(rng.integers(0, 9))))
+            for _ in range(n_seq)
+        ]
+        t1, t2 = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        flat = np.array([t for s in seqs for t in s], dtype=np.int64)
+        offsets = np.cumsum([0] + [len(s) for s in seqs]).astype(np.int64)
+        got_flat, got_off = _merge_pair_flat(flat, offsets, t1, t2, 99)
+        ref = [_merge_ref(s, t1, t2, 99) for s in seqs]
+        ref_flat = [t for s in ref for t in s]
+        assert got_flat.tolist() == ref_flat, (seqs, t1, t2)
+        assert got_off.tolist() == np.cumsum([0] + [len(s) for s in ref]).tolist()
