@@ -2187,6 +2187,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "n_tokens",
         F.md5(F.array_join("tokens", " ").cast("binary")).alias("block_fp"),
+        F.aggregate("part_starts", F.lit(0), lambda a, b: a + b)
+        .cast("bigint")
+        .alias("starts_checksum"),
     )
 
 
@@ -2318,7 +2321,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_parts,
                    CAST(SUM(len(chunk)) AS BIGINT) AS n_tokens,
                    md5(string_agg(array_to_string(chunk, ' '), ' ' ORDER BY gs))
-                       AS block_fp
+                       AS block_fp,
+                   CAST(SUM(gs - block_id * 64) AS BIGINT) AS starts_checksum
             FROM parts GROUP BY block_id
         """,
         "bpe_pair_counts": """

@@ -429,8 +429,11 @@ def pack_sequences(
     engine produces identical blocks.
 
     Returns one row per block: ``(block_id, n_parts, n_tokens,
-    tokens)`` where ``n_parts`` is how many documents contributed and
-    the final block may be shorter than ``block_len``.
+    tokens, part_starts)`` where ``n_parts`` is how many documents
+    contributed, ``part_starts`` the 0-based offsets within the block
+    where each contributing part begins (what a causal-LM collator
+    needs to reset attention across document boundaries), and the
+    final block may be shorter than ``block_len``.
 
     Scale shape: one range-shuffle for the global offset scan, then
     each doc slices its own array into per-block chunks JVM-side
@@ -466,22 +469,25 @@ def pack_sequences(
             "__seq", (gs - F.col("__s") + 1).cast("int"), (ge - gs).cast("int")
         ).alias("__chunk"),
     )
+    sorted_parts = F.array_sort(F.collect_list(F.struct("__gs", "__chunk")))
     return (
         parts.groupBy("block_id")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__gs", "__chunk"))),
-                    lambda s: s["__chunk"],
-                )
+                F.transform(sorted_parts, lambda s: s["__chunk"])
             ).alias("tokens"),
+            F.transform(
+                sorted_parts,
+                lambda s: (s["__gs"] - F.col("block_id") * L).cast("int"),
+            ).alias("part_starts"),
         )
         .select(
             "block_id",
             "n_parts",
             F.size("tokens").alias("n_tokens"),
             "tokens",
+            "part_starts",
         )
     )
 

@@ -258,6 +258,10 @@ def test_pack_sequences_matches_numpy(spark):
         r["block_id"]: (r["n_parts"], r["tokens"])
         for r in pack_sequences(df, "doc_id", "tokens", L).collect()
     }
+    got_starts = {
+        r["block_id"]: r["part_starts"]
+        for r in pack_sequences(df, "doc_id", "tokens", L).collect()
+    }
     seqs = gen.ref_batch(np.arange(300)).column("tokens").to_pylist()
     flat = [t for s in seqs for t in s]
     n_blocks = (len(flat) + L - 1) // L
@@ -275,6 +279,12 @@ def test_pack_sequences_matches_numpy(spark):
             if starts[i] < hi and starts[i + 1] > lo
         )
         assert got[b][0] == n_parts, b
+        want_starts = sorted(
+            max(int(starts[i]) - lo, 0)
+            for i in range(len(seqs))
+            if starts[i] < hi and starts[i + 1] > lo
+        )
+        assert got_starts[b] == want_starts, b
     # every block full except possibly the last
     for b in range(n_blocks - 1):
         assert len(got[b][1]) == L
@@ -291,6 +301,7 @@ def test_pack_sequences_skips_empty_docs(spark):
     out = pack_sequences(df, "doc_id", "tokens", 4).orderBy("block_id").collect()
     assert [r["tokens"] for r in out] == [[1, 2, 3, 4], [5]]
     assert [r["n_parts"] for r in out] == [2, 1]
+    assert [r["part_starts"] for r in out] == [[0, 3], [0]]
 
 
 def test_epoch_shuffle_shards_properties(spark):
