@@ -191,6 +191,10 @@ def run_build(cores: int, path: str, pin: bool = True, timeout: float = 170) -> 
         # a leg stuck in a heavy host-load burst: record "no sample"
         # rather than letting one bad window eat the whole run budget
         return float("inf"), 0
+    except subprocess.CalledProcessError:
+        # a crashed leg must degrade the measurement, never kill the
+        # whole bench before it prints its JSON line
+        return float("inf"), 0
     leg = json.loads(out.stdout.strip().splitlines()[-1])
     return leg["wall"], leg["tokens"]
 
@@ -219,8 +223,9 @@ def main() -> None:
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
     # the per-query timings must always make it into the JSON: reserve
     # their slice of the budget from the scaling/peak retries (the full
-    # query pass measures ~115-140 s at sf0.1 on this host)
-    reserve = 200.0 if do_queries else 0.0
+    # 59-query cold pass measures ~200-235 s at sf0.1 depending on host
+    # load; 200 s starved the tail of the grown query set)
+    reserve = 255.0 if do_queries else 0.0
 
     def raw_remaining() -> float:
         return deadline - (time.time() - t_start)
@@ -237,6 +242,14 @@ def main() -> None:
         "bench_docs": n_docs,
     }
     tokens = 0
+
+    # peak throughput FIRST: the headline metric must never be starved
+    # by scaling windows (it once came out None after resampled legs +
+    # a host burst consumed the whole non-reserved budget). One bounded
+    # window now; a second filtering pass later if budget allows.
+    wall_peak, tokens = run_build(high, seq_path, pin=False, timeout=170)
+    if wall_peak == float("inf"):  # burst window: one immediate retry
+        wall_peak, tokens = run_build(high, seq_path, pin=False, timeout=170)
 
     if do_scaling:
         # interleaved passes per leg, min per leg: exogenous host load
@@ -296,15 +309,15 @@ def main() -> None:
             "cap": "cgroup-cpu-quota" if _cgroup_preexec(1) else "taskset",
             "note": "each leg capped to exactly N cores of cpu capacity; min over resampled windows filters exogenous host-load bursts",
         }
-    # peak throughput: uncapped — JVM scan + Python kernels overlap
-    # freely; second pass (budget permitting) filters load spikes
-    wall_peak, tk = run_build(high, seq_path, pin=False)
-    tokens = tokens or tk
-    # second peak pass only when scaling already met target — otherwise
-    # any leftover budget is better spent on scaling windows above
+    # second peak window (budget permitting) filters load spikes; it is
+    # bounded by the REMAINING non-reserved budget so it can never eat
+    # the query reserve, and runs only when scaling already met target
+    # (otherwise leftover budget was better spent on scaling windows)
     scaling_ok = not do_scaling or (result.get("scaling", {}).get("efficiency") or 0) >= 0.8
-    if remaining() > 100 and scaling_ok:
-        w2, tk = run_build(high, seq_path, pin=False)
+    if remaining() > 60 and (wall_peak == float("inf") or scaling_ok):
+        w2, tk = run_build(
+            high, seq_path, pin=False, timeout=min(170.0, max(45.0, remaining() - 5))
+        )
         tokens = tokens or tk
         wall_peak = min(wall_peak, w2)
     if wall_peak < float("inf") and tokens:
@@ -361,8 +374,23 @@ def main() -> None:
             except Exception as e:  # a broken query shows up, not hides
                 queries[name] = f"ERROR: {type(e).__name__}"
                 return False
-        # pass 1: every query once, declaration order
-        for name in qfns:
+        # pass 1: every query once. Known-expensive queries (streaming
+        # micro-batch machinery) go FIRST so a tight budget skips only
+        # cheap tail queries, never the ones whose numbers matter most;
+        # the rest keep declaration order.
+        heavy = [
+            "streaming_neardup",
+            "streaming_sessions",
+            "windowed_stream_watermark",
+            "minhash_lsh_neardup",
+            "rollup_merge_up",
+            "streaming_state_equivalence",
+            "checkpoint_resume",
+        ]
+        pass1 = [n for n in heavy if n in qfns] + [
+            n for n in qfns if n not in heavy
+        ]
+        for name in pass1:
             if name in queries:  # already errored
                 continue
             if raw_remaining() < 15:
