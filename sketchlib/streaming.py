@@ -524,14 +524,31 @@ def neardup_stream_writer(
         else:
             hist_sh = spark.createDataFrame([], shingles.schema)
         pairs = jaccard_verify(cands, hist_sh.unionByName(shingles_new), threshold)
-        # static overwrite of this batch's own partition dir — replay-safe
-        # without the dynamic-overwrite listing (see _write_bucketed)
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
-        )
-        _write_bucketed(brows_new, keys_dir, bid, key_bucket)
-        _write_bucketed(delta, cnt_dir, bid, key_bucket)
-        _write_bucketed(shingles_new, sh_dir, bid, doc_bucket)
+        # static overwrites of this batch's own partition dirs —
+        # replay-safe without the dynamic-overwrite listing (see
+        # _write_bucketed). The four sinks are independent directories
+        # over already-persisted inputs, so the write jobs run
+        # CONCURRENTLY (Spark supports multi-threaded job submission);
+        # sequential writes made per-batch latency the sum of four job
+        # round-trips. A mid-batch failure is unchanged: the replay
+        # rewrites exactly these directories.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_pairs():
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
+            )
+
+        jobs = [
+            _w_pairs,
+            lambda: _write_bucketed(brows_new, keys_dir, bid, key_bucket),
+            lambda: _write_bucketed(delta, cnt_dir, bid, key_bucket),
+            lambda: _write_bucketed(shingles_new, sh_dir, bid, doc_bucket),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futures = [ex.submit(j) for j in jobs]
+            for f in futures:
+                f.result()  # propagate the first failure
         for df in persisted:
             try:
                 df.unpersist()
