@@ -2210,7 +2210,31 @@ def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary fit + corpus encode (tokenops.fit_vocab /
+    encode_docs): frequency-ranked dense ids via the two-phase global
+    scan (count desc, word asc — never a single-partition window),
+    min_count=2, vocab capped at 40 types, OOV -> -1. The ids_fp md5
+    pins every document's exact id sequence."""
+    from sketchlib.tokenops import encode_docs, fit_vocab
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    vocab = fit_vocab(docs, "words", min_count=2, max_size=40)
+    enc = encode_docs(docs, "doc_id", "words", vocab, oov_id=-1)
+    return enc.select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        F.md5(
+            F.array_join(F.transform("tokens", lambda t: t.cast("string")), " ").cast(
+                "binary"
+            )
+        ).alias("ids_fp"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "vocab_encode": q_vocab_encode,
     "epoch_shards": q_epoch_shards,
     "sequence_packing": q_sequence_packing,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2279,6 +2303,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vocab_encode": """
+            WITH w AS (
+                SELECT doc_id, i AS pos, words[i] AS word
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                     UNNEST(range(1, len(words) + 1)) AS t(i)
+            ),
+            c AS (
+                SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+                HAVING COUNT(*) >= 2
+            ),
+            v AS (
+                SELECT word,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) - 1 AS tid
+                FROM c
+            ),
+            v2 AS (SELECT * FROM v WHERE tid < 40),
+            e AS (
+                SELECT w.doc_id, w.pos, COALESCE(v2.tid, -1) AS tid
+                FROM w LEFT JOIN v2 USING (word)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                   md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)) AS ids_fp
+            FROM e GROUP BY doc_id
+        """,
         "epoch_shards": """
             WITH r AS (
                 SELECT doc_id, n_chars,

@@ -370,7 +370,7 @@ def temperature_mix(
 # ------------------------------------------------------ sequence packing
 
 
-def global_offsets(df: DataFrame, order_col: str, len_col, n_parts: int = 0) -> DataFrame:
+def global_offsets(df: DataFrame, order_col, len_col, n_parts: int = 0) -> DataFrame:
     """Exclusive global running sum of ``len_col`` in ``order_col``
     order, WITHOUT a single-partition global window: range-partition
     on the order key, cumsum within each partition, then add the
@@ -378,13 +378,19 @@ def global_offsets(df: DataFrame, order_col: str, len_col, n_parts: int = 0) -> 
     scan — at 100 TB the only small data is one row per partition).
 
     Adds ``__start`` (the row's exclusive prefix sum). ``len_col`` may
-    be a column name or expression.
+    be a column name or expression; ``order_col`` a column name or a
+    LIST of ordering expressions (e.g. ``[F.desc("cnt"), F.asc("w")]``
+    — the total order must be unambiguous for the result to be
+    deterministic).
     """
     from pyspark.sql import Window
 
     if n_parts <= 0:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+    order_exprs = (
+        list(order_col) if isinstance(order_col, (list, tuple)) else [F.col(order_col)]
+    )
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "__pid", F.spark_partition_id()
     )
     ranged = ranged.withColumn("__len", F.lit(len_col) if isinstance(len_col, int) else len_col)
@@ -400,7 +406,7 @@ def global_offsets(df: DataFrame, order_col: str, len_col, n_parts: int = 0) -> 
     pref_df = df.sparkSession.createDataFrame(
         [(int(p), int(s)) for p, s in prefix.items()], "__pid int, __prefix bigint"
     )
-    w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+    w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
         Window.unboundedPreceding, -1
     )
     out = (
@@ -528,4 +534,90 @@ def epoch_shuffle_shards(
         ranked.withColumn("__rank", F.col("__start"))
         .withColumn("shard", (F.col("__rank") % n_shards).cast("int"))
         .drop("__start", "__shuffle_key")
+    )
+
+
+# --------------------------------------------------- vocabulary encoding
+
+
+def fit_vocab(
+    df: DataFrame,
+    words_col: str,
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Fit a frequency-ranked vocabulary over an exploded word column:
+    returns ``(word, token_id, cnt)`` with dense 0-based ids assigned
+    by (count desc, word asc) — the standard tokenizer-vocab ordering,
+    deterministic in any engine. Ranks come from the two-phase global
+    scan (:func:`global_offsets` with unit weights ordered by the
+    count key), never a single-partition window, so a billion-type
+    vocabulary ranks in parallel.
+
+    ``min_count`` drops rare types BEFORE ranking; ``max_size`` keeps
+    the ``token_id < max_size`` head (ids are already dense, so this
+    is a filter, not a re-rank).
+    """
+    counts = (
+        df.select(F.explode(words_col).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    ranked = global_offsets(
+        counts, [F.desc("cnt"), F.asc("word")], F.lit(1).cast("bigint")
+    ).select("word", F.col("__start").alias("token_id"), "cnt")
+    if max_size is not None:
+        ranked = ranked.filter(F.col("token_id") < max_size)
+    return ranked
+
+
+def encode_docs(
+    df: DataFrame,
+    id_col: str,
+    words_col: str,
+    vocab: DataFrame,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode word arrays to token-id arrays through a fitted
+    vocabulary: ``(id, tokens array<bigint>, n_tok, n_oov)``.
+    Out-of-vocabulary words map to ``oov_id``.
+
+    Words explode with their positions, join the vocab keyed by word
+    (broadcast for tokenizer-sized vocabs, shuffled join at
+    corpus-vocab scale — only (word, pos) rows move, never documents),
+    and reassemble in position order. The text→tokens bridge into the
+    sketch/BPE/packing pipeline, which consumes exactly this shape.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(words_col).alias("pos", "word"),
+    )
+    joined = exploded.join(vocab.select("word", "token_id"), "word", "left")
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        # null pos = the explode_outer marker for an
+                        # empty doc: emit NULL so collect_list drops it
+                        F.when(
+                            F.col("pos").isNotNull(),
+                            F.struct(
+                                "pos",
+                                F.coalesce("token_id", F.lit(oov_id)).alias("tid"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("tokens"),
+            F.sum(F.when(F.col("pos").isNotNull(), 1).otherwise(0)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("pos").isNotNull() & F.col("token_id").isNull(), 1)
+                .otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(F.col("__id").alias(id_col), "tokens", "n_tok", "n_oov")
     )

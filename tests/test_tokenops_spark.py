@@ -350,3 +350,51 @@ def test_merge_pair_flat_property():
         ref_flat = [t for s in ref for t in s]
         assert got_flat.tolist() == ref_flat, (seqs, t1, t2)
         assert got_off.tolist() == np.cumsum([0] + [len(s) for s in ref]).tolist()
+
+
+def test_fit_vocab_and_encode(spark):
+    from sketchlib.tokenops import encode_docs, fit_vocab
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, words=["b", "a", "b", "c", "b"]),
+            Row(doc_id=1, words=["a", "b", "a", "zz"]),
+            Row(doc_id=2, words=[]),
+        ],
+        "doc_id int, words array<string>",
+    )
+    vocab = {r["word"]: (r["token_id"], r["cnt"]) for r in fit_vocab(docs, "words").collect()}
+    # b:4, a:3, c:1, zz:1 -> ranks (cnt desc, word asc)
+    assert vocab == {"b": (0, 4), "a": (1, 3), "c": (2, 1), "zz": (3, 1)}
+    # min_count/max_size trims
+    v2 = fit_vocab(docs, "words", min_count=2)
+    enc = {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["n_oov"])
+        for r in encode_docs(docs, "doc_id", "words", v2, oov_id=-1).collect()
+    }
+    assert enc[0] == ([0, 1, 0, -1, 0], 5, 1)
+    assert enc[1] == ([1, 0, 1, -1], 4, 1)
+    assert enc[2] == ([], 0, 0)
+
+
+def test_fit_vocab_matches_single_window(spark):
+    """Two-phase rank == plain global-window rank on a real corpus."""
+    from pyspark.sql import Window
+
+    from sketchlib.tokenops import fit_vocab
+
+    docs = gen.sequences_df(spark, 100).select(
+        F.transform("tokens", lambda t: t.cast("string")).alias("words")
+    )
+    got = {r["word"]: r["token_id"] for r in fit_vocab(docs, "words").collect()}
+    counts = (
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ref = {
+        r["word"]: r["rk"] - 1
+        for r in counts.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == ref
