@@ -196,7 +196,9 @@ def bpe_train(
     grows beyond one step.
     """
     merges: list[tuple[int, int, int]] = []
-    cur = df.select(F.col(seq_col).cast("array<bigint>").alias(seq_col))
+    # all other columns pass through untouched (bpe_merge_step keeps
+    # them), so the trained frame chains straight into pack_sequences
+    cur = df.withColumn(seq_col, F.col(seq_col).cast("array<bigint>"))
     cur = cur.persist()
     try:
         for i in range(n_merges):
