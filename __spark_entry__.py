@@ -2233,7 +2233,23 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted train/val/test split (textops.hash_split):
+    md5-bucket permille assignment, engine- and run-independent so no
+    pipeline change can quietly move docs across the train/test wall.
+    id_checksum pins exactly WHICH docs landed in each split."""
+    from sketchlib.textops import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hash_split": q_hash_split,
     "vocab_encode": q_vocab_encode,
     "epoch_shards": q_epoch_shards,
     "sequence_packing": q_sequence_packing,
@@ -2303,6 +2319,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hash_split": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000 AS bucket
+                FROM documents
+            )
+            SELECT source,
+                   CASE WHEN bucket < 900 THEN 'train'
+                        WHEN bucket < 950 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM b GROUP BY 1, 2
+        """,
         "vocab_encode": """
             WITH w AS (
                 SELECT doc_id, i AS pos, words[i] AS word

@@ -496,3 +496,34 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
             "[PHONE]",
         ),
     )
+
+
+# ------------------------------------------------- deterministic splits
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, int], modulus: int = 1000
+) -> DataFrame:
+    """Deterministic weighted train/val/test split: each row lands in
+    exactly one named split by where ``md5(id)`` falls among
+    cumulative weight boundaries (permille by default). Engine- and
+    run-independent — the property an eval split must have so that no
+    later pipeline change quietly moves documents across the
+    train/test wall.
+
+    ``weights`` maps split name -> integer weight out of ``modulus``
+    (e.g. ``{"train": 980, "val": 10, "test": 10}``; must sum to
+    ``modulus``). The bucket is the first 8 md5 hex digits mod
+    ``modulus`` — uniform, stateless, no shuffle, no sampling noise.
+    """
+    if sum(weights.values()) != modulus:
+        raise ValueError(f"weights must sum to {modulus}: {weights}")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint") % modulus
+    expr = None
+    acc = 0
+    for name, wt in weights.items():
+        cond = bucket < F.lit(acc + wt)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        acc += wt
+    return df.withColumn("split", expr)

@@ -398,3 +398,22 @@ def test_fit_vocab_matches_single_window(spark):
         for r in counts.withColumn("rk", F.row_number().over(w)).collect()
     }
     assert got == ref
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from sketchlib.textops import hash_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 900, "val": 50, "test": 50}
+    out = hash_split(docs, "doc_id", w)
+    rows = out.collect()
+    assert len(rows) == 2000 and all(r["split"] in w for r in rows)
+    per = {}
+    for r in rows:
+        per[r["split"]] = per.get(r["split"], 0) + 1
+    # proportions roughly honored (md5 is uniform; 2000 draws)
+    assert 1700 < per["train"] < 1950 and per["val"] > 20 and per["test"] > 20
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", w).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 1, "val": 1})
