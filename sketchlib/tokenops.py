@@ -384,6 +384,15 @@ def global_offsets(df: DataFrame, order_col, len_col, n_parts: int = 0) -> DataF
     LIST of ordering expressions (e.g. ``[F.desc("cnt"), F.asc("w")]``
     — the total order must be unambiguous for the result to be
     deterministic).
+
+    Cache lifecycle: the range-partitioned input is persisted because
+    the partition boundaries come from sampling — the totals job and
+    the output must see the SAME partitioning (recomputing could
+    resample different boundaries and corrupt the prefix map). The
+    function cannot unpersist (the caller hasn't materialized yet);
+    long-lived sessions looping over many scans should materialize and
+    ``spark.catalog.clearCache()`` between iterations, same contract
+    as sketchlib.dedup's pair finders.
     """
     from pyspark.sql import Window
 

@@ -417,3 +417,39 @@ def test_hash_split_deterministic_and_exhaustive(spark):
     assert again == {r["doc_id"]: r["split"] for r in rows}
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"train": 1, "val": 1})
+
+
+def test_pack_sequences_randomized_property():
+    """Randomized flatten-and-chunk check of the packing arithmetic
+    (block spans, local slice indices) against a python reference —
+    pure driver-side math on the same formulas the Spark expressions
+    use, over boundary-heavy layouts including empty docs."""
+    rng = np.random.default_rng(11)
+    for trial in range(300):
+        L = int(rng.integers(1, 9))
+        lengths = [int(rng.integers(0, 3 * L)) for _ in range(int(rng.integers(1, 8)))]
+        # the span/slice formulas from pack_sequences
+        start = 0
+        blocks: dict[int, list] = {}
+        for n in lengths:
+            if n == 0:
+                continue
+            b0, b1 = start // L, (start + n - 1) // L
+            for b in range(b0, b1 + 1):
+                gs, ge = max(b * L, start), min((b + 1) * L, start + n)
+                blocks.setdefault(b, []).append((gs, gs - start, ge - start))
+            start += n
+        # reference: concat then chunk
+        total = sum(lengths)
+        n_blocks = (total + L - 1) // L
+        assert set(blocks) == set(range(n_blocks))
+        for b, parts in blocks.items():
+            covered = sorted((gs, lo, hi) for gs, lo, hi in parts)
+            width = sum(hi - lo for _, lo, hi in covered)
+            expect = min((b + 1) * L, total) - b * L
+            assert width == expect, (trial, b)
+            # parts tile the block contiguously in gs order
+            cur = b * L
+            for gs, lo, hi in covered:
+                assert gs == cur
+                cur += hi - lo
