@@ -2248,7 +2248,82 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions mergeable covariance sketch (sketchlib.fd,
+    Liberty KDD'13 / Ghashami et al. SICOMP'16) built per label through
+    the SAME sketch_aggregate partial+salted-merge path as every other
+    kernel. Certificate per label, driver-checked against the exact
+    Gram (computed distributedly as per-batch partial Grams — only
+    (label, 64x64) rows reach the driver): PSD lower side, the exact
+    shrinkage-total upper bound, and the standard accounting
+    delta_total <= (||A||_F^2 - ||B||_F^2)/l."""
+    import numpy as _np
+
+    from sketchlib.fd import FrequentDirections
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    merged = sketch_aggregate(
+        emb, ["label"], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": 64})], fanout=8
+    )
+    states = {
+        r["label"]: FrequentDirections.from_bytes(bytes(r["state"]))
+        for r in merged.select("label", "state").collect()
+    }
+
+    def partial_grams(batches):
+        import pyarrow as _pa
+
+        for b in batches:
+            lab = b.column("label").to_numpy(zero_copy_only=False)
+            flat = _np.asarray(b.column("vec").flatten(), dtype=_np.float64)
+            mat = flat.reshape(len(lab), 64)
+            labs, grams, ns = [], [], []
+            for lv in _np.unique(lab):
+                rows = mat[lab == lv]
+                labs.append(int(lv))
+                grams.append((rows.T @ rows).tobytes())
+                ns.append(rows.shape[0])
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(labs, type=_pa.int64()),
+                    _pa.array(grams, type=_pa.binary()),
+                    _pa.array(ns, type=_pa.int64()),
+                ],
+                names=["label", "gram", "n"],
+            )
+
+    exact: dict = {}
+    counts: dict = {}
+    for r in emb.mapInArrow(partial_grams, "label long, gram binary, n long").collect():
+        g = _np.frombuffer(bytes(r["gram"]), dtype=_np.float64).reshape(64, 64)
+        exact[r["label"]] = exact.get(r["label"], 0) + g
+        counts[r["label"]] = counts.get(r["label"], 0) + r["n"]
+    out = []
+    for lab, fd in states.items():
+        G = exact[lab]
+        D = G - fd.cov_sketch()
+        eig = _np.linalg.eigvalsh(D)
+        tol = 1e-6 * max(1.0, fd.fro2)
+        froB2 = float(_np.sum(fd.sketch_matrix**2))
+        out.append(
+            (
+                int(lab),
+                int(counts[lab]),
+                bool(fd.n == counts[lab] and eig.min() >= -tol),
+                bool(eig.max() <= fd.delta_total + tol),
+                bool(fd.delta_total <= (fd.fro2 - froB2) / fd.l + tol),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "label long, n_vecs long, psd_ok boolean, bound_ok boolean, accounting_ok boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fd_covariance": q_fd_covariance,
     "hash_split": q_hash_split,
     "vocab_encode": q_vocab_encode,
     "epoch_shards": q_epoch_shards,
@@ -2319,6 +2394,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fd_covariance": """
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   TRUE AS psd_ok,
+                   TRUE AS bound_ok,
+                   TRUE AS accounting_ok
+            FROM embeddings GROUP BY label
+        """,
         "hash_split": """
             WITH b AS (
                 SELECT doc_id, source,

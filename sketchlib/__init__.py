@@ -13,6 +13,7 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .codec import SketchCodecError, SketchParamMismatch
 from .cuckoo import CuckooFilter, CuckooFilterFull
+from .fd import FrequentDirections
 from .hll import HLL
 from .quotient import QuotientFilter, QuotientFilterFull
 from .kll import KLL

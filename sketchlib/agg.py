@@ -54,6 +54,7 @@ from pyspark.sql.types import (
 
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .fd import FrequentDirections
 from .hll import HLL
 from .kll import KLL
 from .reservoir import Reservoir
@@ -61,6 +62,7 @@ from .tdigest import TDigest
 from .topk import LossyCounter, TopK
 
 KERNELS = {
+    "fd": FrequentDirections,
     "hll": HLL,
     "cms": CountMinSketch,
     "bloom": BloomFilter,
@@ -71,7 +73,7 @@ KERNELS = {
     "reservoir": Reservoir,
 }
 
-_NUMERIC_KINDS = ("tdigest", "kll", "reservoir")  # consume float64
+_NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
 # consume int64; string inputs are pre-hashed JVM-side (note: for lossy /
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)
