@@ -223,9 +223,9 @@ def main() -> None:
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
     # the per-query timings must always make it into the JSON: reserve
     # their slice of the budget from the scaling/peak retries (the full
-    # 59-query cold pass measures ~200-235 s at sf0.1 depending on host
+    # 62-query cold pass measures ~215-250 s at sf0.1 depending on host
     # load; 200 s starved the tail of the grown query set)
-    reserve = 255.0 if do_queries else 0.0
+    reserve = 270.0 if do_queries else 0.0
 
     def raw_remaining() -> float:
         return deadline - (time.time() - t_start)

@@ -107,6 +107,19 @@ def session_rows(spark, tmp_path_factory):
         q.processAllAvailable()
         _write_batch(src, 5, [(1020, 9, 1)])
         q.processAllAvailable()
+        # watermark-timeout finalizations ride Spark's NO-DATA
+        # micro-batch, which processAllAvailable does not always wait
+        # for under load — poll until the five expected non-u9 sessions
+        # have landed (bounded; exactly-once is still asserted by the
+        # tests, this only waits for arrival, never filters)
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            rows = spark.sql("select * from sess_sink").collect()
+            if sum(1 for r in rows if r["user_id"] != 9) >= 5:
+                break
+            _time.sleep(0.5)
         rows = spark.sql("select * from sess_sink").collect()
     finally:
         q.stop()
