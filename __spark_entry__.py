@@ -650,12 +650,51 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 6 of 64 over word-hash bit
-    votes). No SQL oracle (bit-vote signatures aren't SQL-expressible);
-    banding-vs-full-scan equality is pytest-asserted."""
+    """SimHash near-dup PAIR ROWS on a planted corpus sized from the
+    ``documents`` table, so the full pair set has a closed form DuckDB
+    recomputes (the ``simhash_guarantee`` construction applied to the
+    pairs query itself — r3 verdict: this entry was the last
+    ``no_oracle`` row). Corpus: ``n//6`` clusters of 3 byte-identical
+    docs (identical word arrays ⇒ identical signature ⇒ the
+    rep-collapse + expansion emits every intra-cluster pair exactly)
+    plus ``n - 3*(n//6)`` singleton docs with pairwise-disjoint
+    vocabularies (independent 64-bit bit-vote signatures:
+    P[hamming ≤ 6] ≈ 5e-12 per pair AND an 8-bit band must collide to
+    even reach the verify — zero cross pairs, deterministic under the
+    fixed seed, re-checked at sf0.001/0.01/0.1). Output = exactly the
+    intra-cluster pairs; realistic-corpus simhash (banding ≡ full-scan)
+    stays pytest-asserted in tests/test_dedup_topk_spark.py."""
     from sketchlib.dedup import simhash_neardup_pairs
 
-    docs = _words(_t(spark, sf_dir, "documents"))
+    _ensure_workers(spark)
+    n = _t(spark, sf_dir, "documents").count()
+    csize = 3
+    n_clusters = n // (2 * csize)
+    n_singles = n - n_clusters * csize
+    wlen = 12
+    jseq = F.sequence(F.lit(0), F.lit(wlen - 1))
+    clustered = spark.range(n_clusters * csize, numPartitions=8).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            jseq,
+            lambda j: F.concat(
+                F.lit("c"),
+                F.floor(F.col("id") / csize).cast("string"),
+                F.lit("w"),
+                j.cast("string"),
+            ),
+        ).alias("words"),
+    )
+    singles = spark.range(n_singles, numPartitions=8).select(
+        (F.col("id") + 1000000).alias("doc_id"),
+        F.transform(
+            jseq,
+            lambda j: F.concat(
+                F.lit("u"), F.col("id").cast("string"), F.lit("w"), j.cast("string")
+            ),
+        ).alias("words"),
+    )
+    docs = clustered.unionByName(singles)
     return simhash_neardup_pairs(docs, "doc_id", "words", max_hamming=6, bands=8)
 
 
@@ -1256,6 +1295,11 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(root, "pairs"),
                 os.path.join(root, "ckpt"),
                 threshold=0.5,
+                # shuffle width sized to the ~1/4-table trigger volume:
+                # the batch body persists its intermediates, AQE cannot
+                # coalesce cached shuffles, and session width (32) is
+                # pure per-batch scheduling overhead at this batch size
+                batch_shuffle_partitions=8,
             )
             .trigger(availableNow=True)
             .start()
@@ -2322,8 +2366,102 @@ def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions principal-subspace recovery certificate
+    (r3 verdict item 7: ``principal_directions`` had no driver query).
+
+    Planted low-rank + noise matrix, derived deterministically from the
+    embeddings table so it scales with SF: row i = 0.2·x_i (the real
+    embedding as the noise floor) + Σ_{r<k} amp_r·coef_r(i)·e_{p_r},
+    with coef_r(i) a deterministic xxhash64-seeded uniform in [-1, 1]
+    and amplitudes 4.0, 3.6, … well above the noise, so the exact
+    top-k eigenvectors sit near the planted basis dims with a wide
+    spectral gap. FD (l=24) is built through the standard
+    sketch_aggregate partial + salted-merge path; the EXACT
+    eigendecomposition comes from distributed partial Grams (only
+    64×64 matrices reach the driver). Certificate per direction rank:
+    the exact eigenvector's squared projection onto the FD top-k
+    subspace ≥ 0.9 (subspace recall), plus the PSD / shrinkage-bound /
+    accounting booleans of the covariance certificate."""
+    import numpy as _np
+
+    from sketchlib.fd import FrequentDirections
+
+    k, dim = 6, 64
+    planted = [3 + 8 * r for r in range(k)]  # spread basis dims
+    amps = [4.0 - 0.4 * r for r in range(k)]
+    x = F.col("embedding").cast("array<double>")
+    coefs = [
+        (
+            (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(1000 + r)), F.lit(2000001)) - 1000000)
+            / 1000000.0
+        ).alias(f"__c{r}")
+        for r in range(k)
+    ]
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("vec_id"), x.alias("__x"), *coefs)
+    # y[j] = 0.2*x[j] + amp_r*coef_r when j == p_r  (pure JVM transform)
+    def _yj(j):
+        base = 0.2 * F.element_at(F.col("__x"), j + 1)
+        for r, p in enumerate(planted):
+            base = base + F.when(j == p, F.lit(amps[r]) * F.col(f"__c{r}")).otherwise(0.0)
+        return base
+
+    rows = emb.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _yj).alias("vec"),
+    )
+    merged = sketch_aggregate(
+        rows, [], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": dim})], fanout=8
+    )
+    fd = FrequentDirections.from_bytes(
+        bytes(merged.select("state").collect()[0][0])
+    )
+
+    def partial_grams(batches):
+        import pyarrow as _pa
+
+        for b in batches:
+            flat = _np.asarray(b.column("vec").flatten(), dtype=_np.float64)
+            mat = flat.reshape(-1, dim)
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array([(mat.T @ mat).tobytes()], type=_pa.binary()),
+                    _pa.array([mat.shape[0]], type=_pa.int64()),
+                ],
+                names=["gram", "n"],
+            )
+
+    G = _np.zeros((dim, dim))
+    n_vecs = 0
+    for r in rows.select("vec").mapInArrow(partial_grams, "gram binary, n long").collect():
+        G += _np.frombuffer(bytes(r["gram"]), dtype=_np.float64).reshape(dim, dim)
+        n_vecs += int(r["n"])
+    evals, evecs = _np.linalg.eigh(G)  # ascending
+    exact_top = evecs[:, ::-1][:, :k]  # dim x k, descending eigenvalue
+    fd_top = fd.principal_directions(k)  # k x dim
+    # squared projection of each exact direction onto the FD subspace
+    proj2 = _np.sum((fd_top @ exact_top) ** 2, axis=0)
+    D = G - fd.cov_sketch()
+    eig = _np.linalg.eigvalsh(D)
+    tol = 1e-6 * max(1.0, fd.fro2)
+    froB2 = float(_np.sum(fd.sketch_matrix**2))
+    psd_ok = bool(fd.n == n_vecs and eig.min() >= -tol)
+    bound_ok = bool(eig.max() <= fd.delta_total + tol)
+    acct_ok = bool(fd.delta_total <= (fd.fro2 - froB2) / fd.l + tol)
+    out = [
+        (int(r), int(n_vecs), bool(proj2[r] >= 0.9), psd_ok, bound_ok, acct_ok)
+        for r in range(k)
+    ]
+    return spark.createDataFrame(
+        out,
+        "rank long, n_vecs long, recall_ok boolean, psd_ok boolean, "
+        "bound_ok boolean, accounting_ok boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_covariance": q_fd_covariance,
+    "fd_directions": q_fd_directions,
     "hash_split": q_hash_split,
     "vocab_encode": q_vocab_encode,
     "epoch_shards": q_epoch_shards,
@@ -2401,6 +2539,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS bound_ok,
                    TRUE AS accounting_ok
             FROM embeddings GROUP BY label
+        """,
+        "fd_directions": """
+            SELECT CAST(r.i AS BIGINT) AS rank,
+                   (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+                   TRUE AS recall_ok,
+                   TRUE AS psd_ok,
+                   TRUE AS bound_ok,
+                   TRUE AS accounting_ok
+            FROM range(6) r(i)
         """,
         "hash_split": """
             WITH b AS (
@@ -3216,7 +3363,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
             FROM reach GROUP BY u
         """,
-        # simhash_neardup: intentionally no oracle (bit-vote signatures
-        # are not SQL-expressible); banding-vs-full-scan equality and
-        # planted-near-dup behavior are pytest-asserted
+        # simhash_neardup runs on the planted closed-form corpus (see
+        # q_simhash_neardup): n//6 byte-identical 3-doc clusters over
+        # ids [0, 3k) -> exactly the intra-cluster pairs; singleton ids
+        # (offset 1e6) contribute zero pairs
+        "simhash_neardup": """
+            WITH n AS (SELECT COUNT(*) // 6 AS k FROM documents),
+                 m AS (
+                     SELECT r.i AS id
+                     FROM range(30000) r(i), n
+                     WHERE r.i < 3 * n.k
+                 )
+            SELECT a.id AS doc_a, b.id AS doc_b
+            FROM m a JOIN m b ON a.id // 3 = b.id // 3 AND a.id < b.id
+        """,
     }

@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. The FINAL stdout line is a compact JSON record
+(guaranteed ≤ ~1900 chars so the driver's 2000-char tail capture always
+parses it — round 3's single long line did not survive that window):
 
     {"metric": ..., "value": <headline sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...,
      "tokens": N, "tokens_per_sec": ..., "token_updates_per_sec": ...,
-     "scaling": {"cores_low": 8, "cores_high": 32, "wall_low": ...,
+     "scaling": {"cores_low": 2, "cores_high": 8, "wall_low": ...,
                  "wall_high": ..., "efficiency": ...},
-     "query_stats": {name: {"n": passes, "median": sec, "spread": sec}}}
+     "detail": "BENCH_DETAIL.json"}
+
+The full record — per-query {n, median, spread} stats, scaling sample
+counts, cap mode — is written to BENCH_DETAIL.json in the repo root and
+printed as the second-to-last stdout line.
 
 Per-query numbers are STEADY-STATE: every query runs once, then is
 re-sampled cheapest-first (up to 3 samples) while budget remains;
@@ -246,10 +252,15 @@ def main() -> None:
     # peak throughput FIRST: the headline metric must never be starved
     # by scaling windows (it once came out None after resampled legs +
     # a host burst consumed the whole non-reserved budget). One bounded
-    # window now; a second filtering pass later if budget allows.
-    wall_peak, tokens = run_build(high, seq_path, pin=False, timeout=170)
-    if wall_peak == float("inf"):  # burst window: one immediate retry
-        wall_peak, tokens = run_build(high, seq_path, pin=False, timeout=170)
+    # window now; a second filtering pass later if budget allows. Both
+    # the first pass and its burst retry are bounded by remaining() so
+    # a double timeout can never eat the query reserve (ADVICE r3).
+    def _peak_timeout() -> float:
+        return min(170.0, max(45.0, remaining() - 5))
+
+    wall_peak, tokens = run_build(high, seq_path, pin=False, timeout=_peak_timeout())
+    if wall_peak == float("inf") and remaining() > 60:  # burst window: one retry
+        wall_peak, tokens = run_build(high, seq_path, pin=False, timeout=_peak_timeout())
 
     if do_scaling:
         # interleaved passes per leg, min per leg: exogenous host load
@@ -365,6 +376,8 @@ def main() -> None:
         qfns = mod.queries()
         samples: dict[str, list[float]] = {}
 
+        from sketchlib.caches import release_caches
+
         def run_one(name: str) -> bool:
             t0 = time.time()
             try:
@@ -374,6 +387,12 @@ def main() -> None:
             except Exception as e:  # a broken query shows up, not hides
                 queries[name] = f"ERROR: {type(e).__name__}"
                 return False
+            finally:
+                # drop the library-internal caches each sample leaves
+                # behind (dedup/ANN signature frames, offset scans) so
+                # repeated samples measure the operator, not cache
+                # accretion, and executor storage stays flat
+                release_caches()
         # pass 1: every query once. Known-expensive queries (streaming
         # micro-batch machinery) go FIRST so a tight budget skips only
         # cheap tail queries, never the ones whose numbers matter most;
@@ -394,7 +413,7 @@ def main() -> None:
             if name in queries:  # already errored
                 continue
             if raw_remaining() < 15:
-                queries[name] = "SKIPPED: time budget"
+                queries[name] = "SKIP"  # time budget
                 continue
             run_one(name)
         # steady-state passes: re-sample cheapest-first while budget
@@ -425,7 +444,58 @@ def main() -> None:
     if query_stats:
         result["query_stats"] = query_stats
 
-    print(json.dumps(result))
+    # The driver keeps only the LAST ~2000 chars of stdout and parses
+    # the final line as JSON — round 3's single line outgrew that and
+    # the whole perf record became unverifiable (parsed: null). So:
+    # full detail goes to BENCH_DETAIL.json (and an earlier stdout
+    # line); the FINAL line is a compact headline + per-query map,
+    # trimmed until it provably fits the capture window.
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None
+    print(json.dumps(result, separators=(",", ":")))  # full record, 2nd-to-last line
+
+    compact = {
+        "metric": "4-sketch build wall (HLL+CMS+Bloom per token, t-digest per doc, per source)",
+        "value": result.get("value"),
+        "unit": "sec",
+        "sf": result.get("sf"),
+        "tokens": result.get("tokens"),
+        "tokens_per_sec": result.get("tokens_per_sec"),
+        "token_updates_per_sec": result.get("token_updates_per_sec"),
+        "queries": queries,
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {
+            k: s.get(k)
+            for k in ("cores_low", "cores_high", "wall_low", "wall_high", "efficiency")
+        }
+    if detail_path:
+        compact["detail"] = "BENCH_DETAIL.json"
+    # degrade verbosity, never content, until the line fits (~1900 B
+    # leaves margin inside the 2000-char tail window)
+    trims = [
+        lambda c: c.update(metric="4-sketch build wall"),
+        lambda c: c.update(
+            queries={
+                k: (round(v, 1) if isinstance(v, float) else v)
+                for k, v in c["queries"].items()
+            }
+        ),
+        lambda c: c.pop("detail", None),
+        lambda c: c.pop("scaling", None),
+    ]
+    line = json.dumps(compact, separators=(",", ":"))
+    for trim in trims:
+        if len(line) <= 1900:
+            break
+        trim(compact)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

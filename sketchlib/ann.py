@@ -47,6 +47,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from . import caches
+
 DEFAULT_SEED = 0x5EEDC0DE
 
 
@@ -275,8 +277,10 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
     # re-derive the signature matmul chain per action — persist the
     # tiny (vid, key) rows instead (same recompute trap measured 35x on
     # the minhash path, sketchlib/dedup.py)
-    sig = _bucketed(srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = caches.register(
+        _bucketed(
+            srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     if bucket_cap is not None:
         hot = (

@@ -20,11 +20,13 @@ requirement.
 Cache lifecycle: the pair-finding functions persist small intermediates
 (shingle arrays, signature rows) because the lazy result plan consumes
 them several times; the functions cannot unpersist (the caller hasn't
-materialized yet). One-shot jobs are unaffected. A long-lived session
-looping over MANY dedup calls should either materialize + call
-``spark.catalog.clearCache()`` between iterations, or write the
-intermediate stage out explicitly (the recommended shape at full scale
-anyway — see SCALE.md).
+materialized yet). One-shot jobs are unaffected. Every such persist is
+registered with :mod:`sketchlib.caches`; a long-lived session looping
+over MANY dedup calls should materialize + call
+``sketchlib.caches.release_caches()`` between iterations (deterministic,
+touches only the library's own caches), or write the intermediate stage
+out explicitly (the recommended shape at full scale anyway — see
+SCALE.md).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from . import caches
 from .hashing import splitmix64
 
 DEFAULT_SEED = 0x5EEDC0DE
@@ -317,8 +320,10 @@ def simhash_neardup_pairs(
     )
     # the 64-pass bit-vote signature feeds the self-join (2 sides) and
     # the cap's count — persist to avoid recomputation per consumer
-    sig = simhash_signatures(rep_docs, "doc_id", "__w", seed).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = caches.register(
+        simhash_signatures(rep_docs, "doc_id", "__w", seed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     parts = sig.select(
         "doc_id",
@@ -395,7 +400,7 @@ def minhash_neardup_pairs(
     # per action (measured 20x+ recompute). Spills to disk if it
     # outgrows memory; at full scale you would write this stage out
     # explicitly instead.
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = caches.register(shingles.persist(StorageLevel.MEMORY_AND_DISK))
     # ONE Arrow pass computes the exact-dup fingerprint AND the minhash
     # band keys for every doc; rep-collapse then filters on these small
     # rows. (The previous shape joined the full shingle ARRAYS against
@@ -410,14 +415,17 @@ def minhash_neardup_pairs(
                 StructField("band_keys", ArrayType(LongType()), False),
             ]
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = caches.register(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     reps = sigs.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     members = sigs.select("doc_id", "fp").join(reps, "fp").select("doc_id", "fp", "rep")
     rep_keys = sigs.join(reps.select(F.col("rep").alias("doc_id")), "doc_id").select(
         "doc_id", "band_keys"
     )
     exploded = rep_keys.select("doc_id", F.posexplode("band_keys").alias("band", "key"))
-    exploded = _cap_bucket_keys(exploded, bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = caches.register(
+        _cap_bucket_keys(exploded, bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     cands = (

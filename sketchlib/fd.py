@@ -53,7 +53,11 @@ class FrequentDirections:
             raise ValueError(f"l must be >= 2: {l}")
         if dim < 1:
             raise ValueError(f"dim must be >= 1: {dim}")
-        self.l = int(l)
+        # l is clamped to dim: each _shrink removes only ~dim·delta of
+        # Frobenius mass (rank ≤ dim), so l > dim would break the
+        # delta_total ≤ (‖A‖_F²−‖B‖_F²)/l accounting — and a sketch
+        # wider than dim is pointless (the exact Gram fits in dim rows).
+        self.l = min(int(l), max(2, int(dim)))
         self.dim = int(dim)
         # buffer holds up to 2l rows; the top l stay after each shrink
         self._buf = np.zeros((2 * self.l, self.dim), dtype=np.float64)

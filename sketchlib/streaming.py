@@ -298,17 +298,34 @@ def _read_store(
     return df.drop(_BATCH_COL, _BUCKET_COL)
 
 
-def _enable_batch_aqe(spark: SparkSession) -> None:
+def _enable_batch_aqe(spark: SparkSession, shuffle_partitions: int | None = None) -> None:
     """Structured Streaming disables AQE on the query's cloned session
     (it is unsupported for *streaming* plans), but the DataFrame actions
     a foreachBatch body runs are plain BATCH queries — re-enabling AQE
     on the clone restores runtime shuffle-partition coalescing for them.
     Without this every inner KB-scale shuffle runs at the full fixed
     ``spark.sql.shuffle.partitions`` width (measured ~3000 tasks per
-    micro-batch at test scale). The setting lives on the stream's
-    private session clone, never the user's session."""
+    micro-batch at test scale). The settings live on the stream's
+    private session clone, never the user's session.
+
+    ``shuffle_partitions`` overrides the clone's shuffle width for the
+    batch bodies: AQE cannot coalesce shuffles under PERSISTED plans
+    (it refuses to change a cached plan's output partitioning), so a
+    batch body that persists its intermediates — the near-dup writer —
+    pays full session width per cached shuffle regardless of data size.
+    Size the override to the TRIGGER volume, not the cluster (measured
+    at sf0.1: 32 → 8 cut the candidate phase ~20%)."""
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # coalesce to the advisory partition SIZE, not the cluster's
+    # default parallelism: a micro-batch's internal shuffles are KB-to-
+    # MB scale, and parallelismFirst=true (the default) still fans them
+    # out to ~shuffle.partitions tasks. Size-driven coalescing keeps
+    # tiny uncached shuffles at 1-2 tasks while leaving genuinely large
+    # batches wide (advisory 64 MB).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
 
 
 def _write_bucketed(df: DataFrame, path: str, bid: int, bucket_expr) -> None:
@@ -344,6 +361,7 @@ def neardup_stream_writer(
     seed: int | None = None,
     bucket_cap: int | None = 4096,
     n_buckets: int = 16,
+    batch_shuffle_partitions: int | None = None,
 ):
     """Incremental near-dup detection: every micro-batch's docs are
     MinHash-banded and matched against all previously seen docs via the
@@ -374,6 +392,11 @@ def neardup_stream_writer(
     - long-running streams fold the per-batch partitions together with
       :func:`neardup_compact` (same maintenance contract as
       :func:`compact` for sketch states).
+    - ``batch_shuffle_partitions`` sizes the batch bodies' shuffle
+      width to the TRIGGER volume instead of the session default: the
+      body persists its intermediates and AQE cannot coalesce cached
+      shuffles, so an oversized session width costs pure scheduling per
+      batch. None keeps the session setting.
 
     Re-ingest guard: a ``doc_id`` that already exists in the store is
     dropped from the batch (its pairs were emitted when first seen), so
@@ -407,10 +430,21 @@ def neardup_stream_writer(
     cnt_dir = os.path.join(store_path, "counts")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _dbg = os.environ.get("SKETCHLIB_STREAM_TIMING") == "1"
+        _t0 = _time.time()
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if _dbg:
+                _marks.append((label, _time.time() - _t0))
+
         if batch_df.isEmpty():
             return
+        _mark("isEmpty")
         spark = batch_df.sparkSession
-        _enable_batch_aqe(spark)
+        _enable_batch_aqe(spark, batch_shuffle_partitions)
         bid = int(batch_id)
         shingles = shingle_hash_frame(
             batch_df, id_col, words_col, shingle_n
@@ -445,6 +479,7 @@ def neardup_stream_writer(
                 r[0]
                 for r in brows.select(key_bucket.cast("int").alias("b")).distinct().collect()
             ]
+            _mark("touched_collect")
             hist = _read_store(spark, keys_dir, brows.schema, bid, touched).persist()
             hist_cnt = _read_store(spark, cnt_dir, cnt_schema, bid, touched)
         else:  # first batch: nothing seen yet
@@ -505,9 +540,13 @@ def neardup_stream_writer(
             if df is not None
         ]
         if has_history:  # keys/ and shingles/ are written together
+            # explode both endpoints in ONE pass + one distinct — the
+            # previous union-of-projections shape cost two extra stages
+            # per batch (measured in the cand_collect phase)
             cand_ids = (
-                cands.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                cands.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                )
                 .distinct()
                 .persist()
             )
@@ -518,6 +557,7 @@ def neardup_stream_writer(
                 .distinct()
                 .collect()
             ]
+            _mark("cand_collect")
             hist_sh = _read_store(
                 spark, sh_dir, shingles.schema, bid, cand_buckets
             ).join(cand_ids, "doc_id", "left_semi")
@@ -531,8 +571,11 @@ def neardup_stream_writer(
         # CONCURRENTLY (Spark supports multi-threaded job submission);
         # sequential writes made per-batch latency the sum of four job
         # round-trips. A mid-batch failure is unchanged: the replay
-        # rewrites exactly these directories.
-        from concurrent.futures import ThreadPoolExecutor
+        # rewrites exactly these directories. InheritableThread (not a
+        # bare ThreadPoolExecutor) so each write inherits the streaming
+        # query's job group / local properties — otherwise query.stop()
+        # cannot cancel in-flight batch writes (ADVICE r3).
+        from pyspark import InheritableThread
 
         def _w_pairs():
             pairs.write.mode("overwrite").parquet(
@@ -545,15 +588,41 @@ def neardup_stream_writer(
             lambda: _write_bucketed(delta, cnt_dir, bid, key_bucket),
             lambda: _write_bucketed(shingles_new, sh_dir, bid, doc_bucket),
         ]
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            futures = [ex.submit(j) for j in jobs]
-            for f in futures:
-                f.result()  # propagate the first failure
+        errs: list[BaseException] = []
+
+        def _run(fn):
+            try:
+                fn()
+            except BaseException as e:  # surfaces after all joins
+                errs.append(e)
+
+        threads = [InheritableThread(target=_run, args=(j,)) for j in jobs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        _mark("writes")
+        if errs:
+            raise errs[0]
         for df in persisted:
             try:
                 df.unpersist()
             except Exception:
                 pass
+        if _dbg:
+            import sys as _sys
+
+            steps = []
+            prev = 0.0
+            for label, t in _marks:
+                steps.append(f"{label}={t - prev:.2f}")
+                prev = t
+            print(
+                f"[stream-timing] batch={bid} total={_time.time() - _t0:.2f} "
+                + " ".join(steps),
+                file=_sys.stderr,
+                flush=True,
+            )
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -51,6 +51,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import caches
+
 __all__ = [
     "pair_counts",
     "top_pair",
@@ -164,9 +166,13 @@ def bpe_merge_step(
             flat = np.asarray(lst.values, dtype=np.int64)[offsets[0] : offsets[-1]]
             offsets = offsets - offsets[0]
             new_flat, new_off = _merge_pair_flat(flat, offsets, t1, t2, new_id)
+            # carry the input validity bitmap: without it NULL token
+            # arrays silently become [] (ADVICE r3); null slots have
+            # zero extent so the rewrite leaves their offsets intact
             new_col = pa.ListArray.from_arrays(
                 pa.array(new_off, type=pa.int32()),
                 pa.array(new_flat, type=pa.int64()),
+                mask=lst.is_null() if lst.null_count else None,
             )
             arrays = [
                 new_col if i == seq_idx else b.column(i)
@@ -267,7 +273,7 @@ def novelty_signals(
 def fit_bigram_lm(df: DataFrame, words_col: str) -> tuple[DataFrame, DataFrame, int]:
     """Fit the add-k bigram LM tables: returns (bigrams(w1,w2,c),
     unigrams(w1,c1), vocab_size). One pass / two grouped counts."""
-    bi = bigram_counts(df, words_col).persist()
+    bi = caches.register(bigram_counts(df, words_col).persist())
     uni = bi.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = df.select(F.explode(words_col).alias("w")).agg(
         F.countDistinct("w").alias("v")
@@ -389,10 +395,11 @@ def global_offsets(df: DataFrame, order_col, len_col, n_parts: int = 0) -> DataF
     the partition boundaries come from sampling — the totals job and
     the output must see the SAME partitioning (recomputing could
     resample different boundaries and corrupt the prefix map). The
-    function cannot unpersist (the caller hasn't materialized yet);
-    long-lived sessions looping over many scans should materialize and
-    ``spark.catalog.clearCache()`` between iterations, same contract
-    as sketchlib.dedup's pair finders.
+    function cannot unpersist (the caller hasn't materialized yet), so
+    the handle is registered with :mod:`sketchlib.caches`; after
+    materializing the result, call ``sketchlib.caches.release_caches()``
+    to drop exactly the library's caches (deterministic, unlike
+    ``spark.catalog.clearCache()``).
     """
     from pyspark.sql import Window
 
@@ -405,7 +412,7 @@ def global_offsets(df: DataFrame, order_col, len_col, n_parts: int = 0) -> DataF
         "__pid", F.spark_partition_id()
     )
     ranged = ranged.withColumn("__len", F.lit(len_col) if isinstance(len_col, int) else len_col)
-    ranged = ranged.persist()
+    ranged = caches.register(ranged.persist())
     totals = (
         ranged.groupBy("__pid").agg(F.sum("__len").alias("__tot")).collect()
     )

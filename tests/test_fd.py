@@ -90,6 +90,25 @@ def test_fd_codec_roundtrip_and_errors():
     assert FrequentDirections(4, 3).is_empty()
 
 
+def test_fd_l_clamped_to_dim_keeps_accounting():
+    """l > dim must not violate delta_total <= (fro2 - ||B||_F^2)/l
+    (ADVICE r3: each shrink removes only ~dim*delta of mass, so a
+    wider-than-dim sketch breaks the bound). The ctor clamps l to dim."""
+    rng = np.random.default_rng(17)
+    dim = 4
+    fd = FrequentDirections(8, dim)
+    assert fd.l == dim  # clamped
+    A = rng.standard_normal((600, dim))
+    fd.update(A.reshape(-1))
+    _check_guarantee(fd, A)
+    # merge of two clamped sketches stays mergeable and bounded
+    other = FrequentDirections(8, dim)
+    B = rng.standard_normal((400, dim))
+    other.update(B.reshape(-1))
+    fd.merge(other)
+    _check_guarantee(fd, np.vstack([A, B]))
+
+
 def test_fd_merge_equals_whole_bound():
     """Split ≡ whole in the CERTIFICATE sense: both satisfy the
     guarantee and the split path's certified bound stays within 2x of
