@@ -53,6 +53,31 @@ HLL_SLACK = 4 * 1.04 / math.sqrt(2**HLL_P)  # 4 sigma of the published bound
 _PYFILES_SENT: set = set()
 
 
+class _stream_shuffle:
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    streaming query: the state-store partition count is captured from
+    the session at the checkpoint's FIRST batch and every micro-batch
+    then schedules that many state tasks — the session default (sized
+    for batch scans) is pure per-batch overhead for these KB-state
+    fixtures. The conf is restored on exit; fixtures use fresh
+    checkpoints so the width never conflicts with an existing store. A
+    real deployment sizes this to its key cardinality instead."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, int(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.old)
+        return False
+
+
 def _ensure_workers(spark: SparkSession) -> None:
     """Make sketchlib importable on executors regardless of how the
     caller created its session: PYTHONPATH (set at module import above)
@@ -1729,15 +1754,16 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     name = f"sess_sink_{_uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_shuffle(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     streamed = spark.table(name).filter(F.col("event_type") != "__sentinel__").persist()
     streamed.count()
     # exact per-session truth, batch-side with the NATIVE sessionizer
@@ -1824,20 +1850,21 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="1 day",
     )
     sink = f"winsink_{abs(hash(sf_dir)) % 10**8}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        # results live in the memory sink; the checkpoint is dead weight
-        # from here (src stays — it is the per-sf_dir cache)
-        _shutil.rmtree(ckpt, ignore_errors=True)
+    with _stream_shuffle(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # results live in the memory sink; the checkpoint is dead weight
+            # from here (src stays — it is the per-sf_dir cache)
+            _shutil.rmtree(ckpt, ignore_errors=True)
     states = (
         spark.sql(f"select * from {sink}")
         .filter(F.col("event_type") != "__sentinel__")

@@ -359,6 +359,18 @@ def main() -> None:
             mod.queries()["hll_distinct_users_per_event_type"](spark, warm_dir).collect()
         except Exception:
             pass
+        # the heavy streaming queries run FIRST in pass 1 (so budget
+        # shortfalls skip cheap tail queries instead), which means their
+        # single sample used to carry the whole cold-start: Python-worker
+        # pool spawn, Arrow serde JIT, the micro-batch engine and its AQE
+        # session clone (measured 10-19 s of warmup inside the first
+        # streaming sample). Exercise those paths once, untimed, at
+        # sf0.001 (~5 s) so sample 1 measures the operator.
+        for wname in ("media_decode", "streaming_state_equivalence"):
+            try:
+                mod.queries()[wname](spark, warm_dir).collect()
+            except Exception:
+                pass
         # pre-build the deterministic stream-source caches (harness
         # prep, not engine work) so the streaming queries' first sample
         # measures the operator, not one-time segment-file construction

@@ -220,7 +220,11 @@ def bpe_train(
             nxt.count()  # materialize before dropping the parent
             cur.unpersist()
             cur = nxt
-        return cur, merges
+        # the returned frame stays persisted for the caller; register it
+        # so caches.release_caches() can drop it deterministically (the
+        # rewrite chain is deterministic, so a post-release recompute is
+        # merely slower, never different)
+        return caches.register(cur), merges
     except Exception:
         cur.unpersist()
         raise
