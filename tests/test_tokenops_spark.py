@@ -84,6 +84,27 @@ def test_bpe_merge_no_cross_sequence_pairs(spark):
     assert got == {0: [1, 2, 3], 1: [4, 5]}
 
 
+def test_bpe_merge_preserves_null_sequences(spark):
+    """ADVICE r3: NULL token arrays must stay NULL through the Arrow
+    rewrite, not silently become [] (the rebuilt ListArray previously
+    dropped the validity bitmap)."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, tokens=[1, 2, 3]),
+            Row(doc_id=1, tokens=None),
+            Row(doc_id=2, tokens=[]),
+            Row(doc_id=3, tokens=[1, 2]),
+        ],
+        "doc_id int, tokens array<bigint>",
+    ).repartition(1)
+    out = bpe_merge_step(df, "tokens", 1, 2, 999)
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    assert got[0] == [999, 3]
+    assert got[1] is None  # NULL preserved, not []
+    assert got[2] == []  # empty stays empty
+    assert got[3] == [999]
+
+
 def test_bpe_train_deterministic_and_correct(spark):
     df = gen.sequences_df(spark, 120).select("tokens")
     out, merges = bpe_train(df, "tokens", n_merges=3, first_new_id=1_000_000)
