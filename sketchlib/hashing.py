@@ -89,6 +89,11 @@ def k_positions(h: np.ndarray, k: int, m: int, seed: int) -> np.ndarray:
         i = np.arange(k, dtype=np.uint64)
         f = (i * i * i - i) // _U(6)  # enhanced-double-hashing tweak f(i)
         pos = h1[None, :] + i[:, None] * h2[None, :] + f[:, None]
+        if m & (m - 1) == 0:
+            # power-of-two m (the common CMS/Bloom config): identical
+            # result, and a uint64 AND is ~3x cheaper than the division
+            # behind %
+            return pos & _U(m - 1)
         return pos % _U(m)
 
 
