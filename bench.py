@@ -92,10 +92,15 @@ def build_leg(cores: int, path: str) -> dict:
         rows = merged.select("sketch", "n_updates").collect()
         return time.time() - t0, sum(r.n_updates for r in rows if r.sketch == "hll")
 
-    # warmup on a quarter of the files: JIT + worker spawn + page cache
-    # need exercising, not the full token volume
+    # warmup: JIT + worker spawn + page cache need exercising. The fast
+    # (>=8 core) legs warm the FULL input — a cold page cache alone adds
+    # ~2-4 s to a 2.5 GB read, and the first full pass after other
+    # processes evicted it was repeatedly the slowest "measured" window
+    # (r4: peak 15.8 s cold vs 11.5 s on the capped leg that ran later,
+    # warm). The slow capped legs keep the quarter-file warmup so the
+    # whole leg stays inside its subprocess timeout.
     files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
-    warm = files[::4] if len(files) >= 4 else files
+    warm = files if cores >= 8 or len(files) < 4 else files[::4]
     once(spark.read.parquet(*warm))
     wall, tokens = once(spark.read.parquet(path))
     # the fast leg re-measures inside the same JVM (cheap: no restart)
