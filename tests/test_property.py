@@ -115,3 +115,48 @@ def test_tdigest_moments_exact_after_merge(values, cuts, order):
     assert merged.min == v.min() and merged.max == v.max()
     # sums of float partitions reassociate; tolerance scales with mass
     assert abs(merged.sum() - v.sum()) <= 1e-9 * max(1.0, np.abs(v).sum())
+
+
+# ---------------------------------------------------------------------------
+# dense/sparse update-path equivalence (r4: bincount CMS, scatter Bloom)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    values=values_st,
+    m=st.integers(65, 1 << 16),
+    k=st.integers(1, 8),
+    chunk=st.integers(1, 3000),
+)
+@settings(**SETTINGS)
+def test_bloom_dense_and_sparse_paths_byte_identical(values, m, k, chunk):
+    """One bulk update (dense scatter+packbits path for big batches) must
+    produce byte-identical state to many tiny updates (sparse or.at
+    path), for any m including non-word-aligned ones."""
+    v = np.array(values, dtype=np.int64)
+    a = BloomFilter(m, k, seed=7)
+    a.update(v)
+    b = BloomFilter(m, k, seed=7)
+    for i in range(0, v.size, chunk):
+        b.update(v[i : i + chunk])
+    assert a.to_bytes() == b.to_bytes()
+
+
+@given(
+    values=values_st,
+    w=st.sampled_from([272, 1024, 4792, 8192]),
+    d=st.integers(1, 6),
+    chunk=st.integers(1, 3000),
+)
+@settings(**SETTINGS)
+def test_cms_dense_and_sparse_paths_byte_identical(values, w, d, chunk):
+    """Bincount accumulation (dense) vs np.add.at (sparse chunks) must
+    build the identical table — counts are integers either way."""
+    v = np.array(values, dtype=np.int64)
+    a = CountMinSketch(w, d, seed=7)
+    a.update(v)
+    b = CountMinSketch(w, d, seed=7)
+    for i in range(0, v.size, chunk):
+        b.update(v[i : i + chunk])
+    assert a.to_bytes() == b.to_bytes()
+    assert a.total() == v.size
