@@ -22,6 +22,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -820,6 +822,75 @@ def q_topk_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est") >= F.col("cnt"))
             & (F.col("est") <= F.col("cnt") + F.lit(eps_n))
         ).alias("est_ok"),
+    )
+
+
+def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountSketch / AMS sketch (sketchlib.ams; Charikar ICALP'02 sign
+    table, AMS STOC'96 tug-of-war F2) built per source through the
+    standard sketch_aggregate partial + salted-merge path. Per source
+    the output pins the EXACT distinct-word count and self-join size
+    F2 = Σ cnt² (both SQL-recomputable) plus two driver-checked
+    certificate booleans: the sketch F2 estimate within its
+    3/sqrt(w) relative bound, and the exact top-3 words' UNBIASED point
+    estimates within ±3·sqrt(F2/w) (the CountSketch error unit —
+    deterministic under the fixed seed, verified at every SF). F2/n² is
+    the collision probability a skew-aware planner prices shuffles
+    with; this is the estimator that scales sketchlib.salt's exact
+    group counts to unbounded key spaces."""
+    from pyspark.sql import Window as _W
+
+    from sketchlib.ams import CountSketch
+
+    w, d = 8192, 5
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs, ["source"], [SketchSpec("ams", "ams", "words", {"w": w, "d": d, "seed": SEED})], fanout=8
+    )
+    states = {
+        r["source"]: CountSketch.from_bytes(bytes(r["state"]))
+        for r in merged.select("source", "state").collect()
+    }
+    counts = (
+        docs.select("source", F.explode("words").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = {
+        r["source"]: (int(r["n_words"]), int(r["f2"]))
+        for r in counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("f2"),
+        )
+        .collect()
+    }
+    rn = F.row_number().over(
+        _W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    )
+    top = (
+        counts.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= 3)
+        .select("source", F.xxhash64("word").alias("h"), "cnt")
+        .collect()
+    )
+    top_by_src: dict = {}
+    for r in top:
+        top_by_src.setdefault(r["source"], []).append((r["h"], r["cnt"]))
+    out = []
+    for src in sorted(states):
+        cs = states[src]
+        n_words, f2 = stats[src]
+        f2_ok = abs(cs.f2() - f2) <= (3.0 / math.sqrt(w)) * f2
+        bound = 3.0 * math.sqrt(f2 / w)
+        hs = np.array([h for h, _ in top_by_src[src]], dtype=np.int64)
+        cn = np.array([c for _, c in top_by_src[src]], dtype=np.float64)
+        est = cs.query_points(hs)
+        points_ok = bool(np.all(np.abs(est - cn) <= bound))
+        out.append((src, n_words, f2, bool(f2_ok), points_ok))
+    return spark.createDataFrame(
+        out,
+        "source string, n_words long, f2_exact long, f2_ok boolean, points_ok boolean",
     )
 
 
@@ -2517,6 +2588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neardup_recall": q_srp_neardup_recall,
     "lossy_heavy_hitters": q_lossy_heavy_hitters,
     "topk_sketch_words": q_topk_sketch_words,
+    "countsketch_f2": q_countsketch_f2,
     "topk_resolved_strings": q_topk_resolved_strings,
     "decontamination": q_decontamination,
     "quality_rules": q_quality_rules,
@@ -2934,6 +3006,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, cnt, TRUE AS in_lossy, TRUE AS f_ok
             FROM wc, tot
             WHERE cnt * 50 >= n
+        """,
+        "countsketch_f2": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact,
+                   TRUE AS f2_ok,
+                   TRUE AS points_ok
+            FROM (
+                SELECT source, w AS word, COUNT(*) AS cnt
+                FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY source, w
+            )
+            GROUP BY source
         """,
         "topk_sketch_words": """
             SELECT word, cnt, TRUE AS in_topk, TRUE AS est_ok

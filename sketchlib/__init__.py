@@ -9,6 +9,7 @@ DataFrame-level two-stage partial/final merge topology built on
 mapInArrow/applyInPandas — no per-row Python anywhere.
 """
 
+from .ams import CountSketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .codec import SketchCodecError, SketchParamMismatch
@@ -23,6 +24,7 @@ from .topk import LossyCounter, TopK
 
 __all__ = [
     "HLL",
+    "CountSketch",
     "CountMinSketch",
     "BloomFilter",
     "TDigest",

@@ -52,6 +52,7 @@ from pyspark.sql.types import (
     BooleanType,
 )
 
+from .ams import CountSketch as AMSCountSketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .fd import FrequentDirections
@@ -62,6 +63,7 @@ from .tdigest import TDigest
 from .topk import LossyCounter, TopK
 
 KERNELS = {
+    "ams": AMSCountSketch,
     "fd": FrequentDirections,
     "hll": HLL,
     "cms": CountMinSketch,
@@ -77,7 +79,7 @@ _NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
 # consume int64; string inputs are pre-hashed JVM-side (note: for lossy /
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)
-_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk")
+_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams")
 
 
 @dataclass(frozen=True)
