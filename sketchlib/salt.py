@@ -45,10 +45,61 @@ def plan_salt_buckets(df: DataFrame, group_cols: list[str],
                       target_rows_per_bucket: int = 2_000_000) -> dict:
     """Observe per-group row counts and suggest a salt bucket count per
     group (max 1 per `target_rows_per_bucket` rows). Cheap: one count
-    aggregation, pushed down to a columnar scan."""
+    aggregation, pushed down to a columnar scan. Collects one row per
+    GROUP — right when the group space is bounded (sources, languages);
+    for unbounded key spaces use :func:`skew_stats` instead."""
     counts = df.groupBy(*group_cols).count().collect()
     out = {}
     for r in counts:
         key = r[0] if len(group_cols) == 1 else tuple(r[:-1])
         out[key] = max(1, int(r["count"] // target_rows_per_bucket))
     return out
+
+
+def skew_stats(df: DataFrame, key_col: str,
+               target_rows_per_bucket: int = 2_000_000,
+               w: int = 8192, d: int = 5) -> dict:
+    """Sketch-based skew profile for UNBOUNDED key spaces: one pass over
+    the key column builds a CountSketch (AMS F2 = Σ count(k)², the
+    self-join size) and an HLL, shuffling only KB state rows — no
+    per-key collect, so it scales where :func:`plan_salt_buckets`'s
+    one-row-per-group collect cannot.
+
+    Returns a dict with: ``n`` (rows), ``ndv_est`` (distinct keys),
+    ``f2_est``, ``collision_prob`` (= F2/n², the probability two random
+    rows share a key — the expansion factor of a self-join on this key),
+    ``max_group_upper`` (= sqrt(F2), a hard upper bound on the largest
+    group: max² ≤ Σ count²), and ``suggested_buckets`` (salt width so
+    even the worst-case group stays under ``target_rows_per_bucket``).
+    The F2 estimate carries the AMS 3/sqrt(w) relative bound; sqrt
+    halves it on ``max_group_upper``."""
+    import math
+
+    from .agg import SketchSpec, sketch_aggregate
+    from .ams import CountSketch
+    from .hashing import DEFAULT_SEED
+    from .hll import HLL
+
+    merged = sketch_aggregate(
+        df.select(key_col),
+        [],
+        [
+            SketchSpec("ams", "ams", key_col, {"w": w, "d": d, "seed": DEFAULT_SEED}),
+            SketchSpec("hll", "hll", key_col, {"p": 14, "seed": DEFAULT_SEED}),
+        ],
+        fanout=32,
+    )
+    rows = {r["sketch"]: r for r in merged.collect()}
+    cs = CountSketch.from_bytes(bytes(rows["ams"]["state"]))
+    hll = HLL.from_bytes(bytes(rows["hll"]["state"]))
+    n = int(rows["ams"]["n_updates"])
+    f2 = max(cs.f2(), float(n))  # F2 >= n always (every count >= 1)
+    max_upper = math.sqrt(f2)
+    return {
+        "n": n,
+        "ndv_est": int(hll.count()),
+        "f2_est": f2,
+        "collision_prob": f2 / max(n, 1) ** 2,
+        "max_group_upper": max_upper,
+        "suggested_buckets": max(1, int(math.ceil(max_upper / target_rows_per_bucket))),
+    }
