@@ -62,6 +62,19 @@ def cms_total(state: pd.Series) -> pd.Series:
     return state.map(lambda b: int(load_state(b).total()))
 
 
+@F.pandas_udf(DoubleType())
+def ams_f2(state: pd.Series) -> pd.Series:
+    """Self-join size Σ count² from a CountSketch state column (the
+    AMS tug-of-war estimate; 3/sqrt(w) relative bound)."""
+    return pd.Series([float(load_state(b).f2()) for b in state])
+
+
+@F.pandas_udf(DoubleType())
+def ams_l2(state: pd.Series) -> pd.Series:
+    """L2 norm sqrt(F2) of the counted stream from a CountSketch state."""
+    return pd.Series([float(load_state(b).l2()) for b in state])
+
+
 def quantile_udf(q: float):
     """Works for both tdigest and KLL states (same .quantile API)."""
 
@@ -223,10 +236,13 @@ def register_sql_functions(spark) -> None:
         spark.sql("SELECT source, hll_count(state) FROM states "
                   "WHERE sketch = 'hll'")
 
-    Registered: hll_count, bloom_len, cms_total, reservoir_seen,
-    reservoir_size, tdigest_quantile(state, q), tdigest_cdf(state, x).
+    Registered: hll_count, bloom_len, cms_total, ams_f2, ams_l2,
+    reservoir_seen, reservoir_size, tdigest_quantile(state, q),
+    tdigest_cdf(state, x).
     """
     spark.udf.register("hll_count", hll_count)
+    spark.udf.register("ams_f2", ams_f2)
+    spark.udf.register("ams_l2", ams_l2)
     spark.udf.register("bloom_len", bloom_len)
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("reservoir_seen", reservoir_seen)

@@ -86,3 +86,33 @@ def test_sql_registered_estimators(spark, seq_small):
         "SELECT tdigest_quantile(state, 0.5) AS med FROM states_sql_test WHERE sketch='td'"
     ).collect()
     assert all(r.med > 0 for r in q)
+
+
+def test_sql_ams_estimators(spark, seq_small):
+    from sketchlib.agg import SketchSpec, sketch_aggregate
+    from sketchlib.estimates import register_sql_functions
+
+    register_sql_functions(spark)
+    merged = sketch_aggregate(
+        seq_small,
+        ["source"],
+        [SketchSpec("ams", "ams", "tokens", {"w": 8192, "d": 5})],
+        fanout=8,
+    )
+    merged.createOrReplaceTempView("ams_sql_test")
+    rows = spark.sql(
+        "SELECT source, ams_f2(state) AS f2, ams_l2(state) AS l2 FROM ams_sql_test"
+    ).collect()
+    exact = {
+        r.source: float(r.f2)
+        for r in seq_small.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source", "t")
+        .count()
+        .groupBy("source")
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert abs(r.f2 - exact[r.source]) <= (3.0 / 8192**0.5) * exact[r.source]
+        assert r.l2 == pytest.approx(r.f2**0.5)
