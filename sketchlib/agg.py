@@ -80,6 +80,14 @@ _NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)
 _HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams")
+# kinds whose final state is provably IDENTICAL when fed globally
+# pre-aggregated (value, count) rows instead of the raw stream: HLL and
+# Bloom updates are idempotent, CMS/AMS counter adds are commutative sums
+# (exact in int64). topk is excluded — its candidate heap retention
+# depends on per-partition arrival order, so states are only
+# estimate-equivalent, not byte-equal; lossy is windowed by definition.
+_PREAGG_KINDS = frozenset({"hll", "cms", "bloom", "ams", "topk"})
+_PREAGG_AUTO = ("hll", "cms", "bloom", "ams")
 
 
 @dataclass(frozen=True)
@@ -87,13 +95,20 @@ class SketchSpec:
     """One sketch to build: which kernel, over which column, with which
     params. ``col`` may be a scalar numeric column, a string column
     (pre-hashed JVM-side via xxhash64 — never per-row Python), or an
-    ``array<int>`` column (consumed flattened, zero-copy)."""
+    ``array<int>`` column (consumed flattened, zero-copy).
+
+    ``count_col`` (pre-aggregated inputs): ``col`` holds distinct values
+    and ``count_col`` their multiplicities — the kernel consumes
+    ``update_unique(values, counts)``. Only meaningful for the
+    count-aware/idempotent kinds (hll/cms/bloom/ams/topk); set by the
+    :func:`sketch_aggregate` ``pre_agg`` strategy, not usually by hand."""
 
     name: str
     kind: str
     col: str
     params: dict = field(default_factory=dict)
     weight_col: str | None = None  # tdigest only
+    count_col: str | None = None  # pre-aggregated (value, count) inputs
 
     def make(self):
         return KERNELS[self.kind](**self.params)
@@ -271,16 +286,24 @@ def build_partials(
         raise ValueError(f"duplicate sketch names: {names}")
     out_schema = partials_schema(df, group_cols)
     hashed_df, rspecs = _resolve_specs(df, specs)
+    for s in rspecs:
+        if s.count_col is not None and s.kind not in _PREAGG_KINDS:
+            raise ValueError(
+                f"count_col only valid for {sorted(_PREAGG_KINDS)}: {s.name} ({s.kind})"
+            )
     needed = list(
         dict.fromkeys(
             group_cols
             + [s.col for s in rspecs]
             + [s.weight_col for s in rspecs if s.weight_col]
+            + [s.count_col for s in rspecs if s.count_col]
         )
     )
     narrow = hashed_df.select(*needed)
     pa_group_types = [_pa_type(narrow.schema[c].dataType) for c in group_cols]
-    specs_payload = [(s.name, s.kind, s.col, dict(s.params), s.weight_col) for s in rspecs]
+    specs_payload = [
+        (s.name, s.kind, s.col, dict(s.params), s.weight_col, s.count_col) for s in rspecs
+    ]
 
     def fn(batches: Iterable[pa.RecordBatch]):
         from pyspark import TaskContext
@@ -336,7 +359,7 @@ def build_partials(
                     col_cache[ck] = hit
                 return hit
 
-            for name, kind, col, params, wcol in specs_payload:
+            for name, kind, col, params, wcol, ccol in specs_payload:
                 want_float = kind in _NUMERIC_KINDS
                 values, bounds, vlens = grouped(col, want_float)
                 if values.size == 0:
@@ -349,6 +372,14 @@ def build_partials(
                     # values with the wrong rows' weights
                     if not np.array_equal(wbounds, bounds) or not _rows_aligned(vlens, wlens):
                         raise ValueError(f"weight col {wcol} nulls misaligned with {col}")
+                pre_counts = None
+                if ccol is not None:
+                    # pre-aggregated (value, count) rows: consume the
+                    # multiplicities directly — no re-dedup (it would
+                    # drop the counts)
+                    pre_counts, cbounds, clens = grouped(ccol, False)
+                    if not np.array_equal(cbounds, bounds) or not _rows_aligned(vlens, clens):
+                        raise ValueError(f"count col {ccol} nulls misaligned with {col}")
                 dedupable = kind in _HASHED_KINDS and kind != "lossy"
                 for gi in range(G):
                     lo, hi = int(bounds[gi]), int(bounds[gi + 1])
@@ -361,6 +392,13 @@ def build_partials(
                         kernel = KERNELS[kind](**params)
                         states[skey] = kernel
                         n_updates[skey] = 0
+                    if pre_counts is not None:
+                        # values are already globally distinct per group
+                        # (the pre_agg groupBy's contract); counts carry
+                        # the raw multiplicities
+                        kernel.update_unique(values[lo:hi], pre_counts[lo:hi])
+                        n_updates[skey] += int(pre_counts[lo:hi].sum())
+                        continue
                     if dedupable:
                         # one dedup per (col, group), shared by hll/cms/
                         # bloom/topk — their updates are count-aware or
@@ -483,9 +521,61 @@ def sketch_aggregate(
     group_cols: list[str],
     specs: list[SketchSpec],
     fanout: int | None = 32,
+    pre_agg: bool = False,
 ) -> DataFrame:
-    """Build + merge in one call: one row per (group, sketch)."""
-    return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)
+    """Build + merge in one call: one row per (group, sketch).
+
+    ``pre_agg=True`` routes the count-aware token sketches (hll / cms /
+    bloom / ams) through a JVM-side global pre-aggregation:
+    ``explode(col) → groupBy(group, value).count()`` — whole-stage
+    codegen with map-side combine, so the shuffle carries at most
+    ``#input_partitions × |vocab|`` combined rows instead of the raw
+    token stream, and the Python/Arrow boundary shrinks to one weighted
+    row per distinct ``(group, value)``. Final states are BYTE-IDENTICAL
+    to the raw path (idempotent / summed updates; tested). All other
+    kinds (t-digest, KLL, reservoir, topk, lossy, FD) keep the raw
+    single-pass path unchanged.
+
+    When to use: almost never — measured at the bench scale (619 M
+    int32 tokens, vocab 50 k, local[8], quiet host) the raw path runs
+    9.3-9.9 s while pre_agg takes 34-38 s: Spark's row-at-a-time
+    explode + hash-agg over the full token stream costs ~4× more than
+    shipping the untouched Arrow buffers to the vectorized numpy
+    kernels, and the raw path never shuffles tokens at all (its only
+    shuffle is kilobyte state rows). The option exists because the
+    trade can flip on a real cluster when Python worker cores — not
+    the JVM — are the constrained resource (e.g. co-located services),
+    and as an independent oracle: its states are byte-equal to the raw
+    path's, which the test suite asserts. Null ARRAY ELEMENTS are
+    dropped by both paths (explode-then-filter here, Arrow flatten
+    there)."""
+    if not pre_agg:
+        return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)
+    hashed_df, rspecs = _resolve_specs(df, specs)
+    pre = [s for s in rspecs if s.kind in _PREAGG_AUTO and s.count_col is None]
+    rest = [s for s in rspecs if s.name not in {p.name for p in pre}]
+    if not pre:
+        return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)
+    parts: list[DataFrame] = []
+    for col in dict.fromkeys(s.col for s in pre):
+        col_specs = [
+            replace(s, col="__v", count_col="__c") for s in pre if s.col == col
+        ]
+        dt = hashed_df.schema[col].dataType
+        v = F.explode(F.col(col)) if isinstance(dt, ArrayType) else F.col(col)
+        g = (
+            hashed_df.select(*group_cols, v.alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy(*group_cols, "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        parts.append(build_partials(g, group_cols, col_specs))
+    if rest:
+        parts.append(build_partials(hashed_df, group_cols, rest))
+    partials = parts[0]
+    for p in parts[1:]:
+        partials = partials.unionByName(p)
+    return merge_partials(partials, group_cols, fanout)
 
 
 def rollup_states(merged: DataFrame, keep_cols: list[str]) -> DataFrame:
