@@ -494,7 +494,10 @@ def main() -> None:
     if detail_path:
         compact["detail"] = "BENCH_DETAIL.json"
     # degrade verbosity, never content, until the line fits (~1900 B
-    # leaves margin inside the 2000-char tail window)
+    # leaves margin inside the 2000-char tail window). Ordered so the
+    # headline value and the scaling-efficiency record (the north-rule
+    # evidence) are the LAST things to go — query values lose precision
+    # first, then redundant headline derivatives.
     trims = [
         lambda c: c.update(metric="4-sketch build wall"),
         lambda c: c.update(
@@ -504,7 +507,16 @@ def main() -> None:
             }
         ),
         lambda c: c.pop("detail", None),
-        lambda c: c.pop("scaling", None),
+        lambda c: c.pop("token_updates_per_sec", None),
+        lambda c: c.pop("tokens", None),
+        lambda c: c.update(
+            queries={
+                k: (round(v) if isinstance(v, float) else v)
+                for k, v in c["queries"].items()
+            }
+        ),
+        lambda c: c.pop("queries", None),  # detail file still has them
+        lambda c: c.pop("scaling", None),  # never reached in practice
     ]
     line = json.dumps(compact, separators=(",", ":"))
     for trim in trims:
