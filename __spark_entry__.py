@@ -50,6 +50,7 @@ SEED = 42
 CERT_CAP = 4096
 HLL_P = 14
 HLL_SLACK = 4 * 1.04 / math.sqrt(2**HLL_P)  # 4 sigma of the published bound
+KMV_K = 1024  # kmv_source_overlap: Jaccard std 0.5/sqrt(k) ~ 1.6%
 
 
 _PYFILES_SENT: set = set()
@@ -2210,6 +2211,73 @@ def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k vocabulary overlap between sources (kmv.py; Beyer
+    SIGMOD'07 / Broder resemblance — pipeline extra, no reference
+    counterpart): one KMV(k=1024) per source over the word vocabulary,
+    then DIRECT pairwise Jaccard from the union synopsis's shared
+    bottom-k — the estimate HLL inclusion–exclusion cannot give without
+    error amplification. Emits the exact pair counts plus within-bound
+    booleans for the KMV estimates: Jaccard within 5·(0.5/√k) of exact
+    (sample-proportion 5σ), intersection within 0.25·union + 3
+    (Jaccard and union errors combined). The pair join runs over
+    #sources state rows (KB), never the corpus; the exact side is the
+    certificate (the SQL oracle's own shape), as in hll_set_algebra."""
+    from sketchlib.estimates import kmv_jaccard, kmv_intersection
+
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs,
+        ["source"],
+        [SketchSpec("kmv", "kmv", "words", {"k": KMV_K, "seed": SEED})],
+        fanout=8,
+    )
+    st = merged.select("source", "state")
+    a = st.select(F.col("source").alias("source_a"), F.col("state").alias("state_a"))
+    b = st.select(F.col("source").alias("source_b"), F.col("state").alias("state_b"))
+    est = a.join(b, F.col("source_a") < F.col("source_b")).select(
+        "source_a",
+        "source_b",
+        kmv_jaccard("state_a", "state_b").alias("j_est"),
+        kmv_intersection("state_a", "state_b").alias("i_est"),
+    )
+    sw = docs.select("source", F.explode("words").alias("w")).distinct()
+    cnt = sw.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    x, y = sw.alias("x"), sw.alias("y")
+    inter = (
+        x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("inter_words"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("cnt").alias("cnt_a"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("cnt").alias("cnt_b"))
+    j_bound = 5 * 0.5 / float(KMV_K) ** 0.5
+    return (
+        inter.join(ca, "source_a")
+        .join(cb, "source_b")
+        .join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "inter_words",
+            (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words")).alias("union_words"),
+            # cross-multiplied: |J_est·union − inter| ≤ bound·union
+            (
+                F.abs(
+                    F.col("j_est") * (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
+                    - F.col("inter_words")
+                )
+                <= F.lit(j_bound) * (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
+            ).alias("kmv_jaccard_ok"),
+            (
+                F.abs(F.col("i_est") - F.col("inter_words"))
+                <= F.lit(0.25) * (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
+                + F.lit(3.0)
+            ).alias("kmv_inter_ok"),
+        )
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labels: connected components over the exact
     3-gram-Jaccard near-dup pairs (J >= 0.5), each doc labeled with its
@@ -2613,6 +2681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_roundtrip": q_lang_id_roundtrip,
     "dup_clusters": q_dup_clusters,
     "hll_set_algebra": q_hll_set_algebra,
+    "kmv_source_overlap": q_kmv_source_overlap,
     "curation_pipeline": q_curation_pipeline,
     "repetition_stats": q_repetition_stats,
     "session_windows": q_session_windows,
@@ -3441,6 +3510,26 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_inter_ok
             FROM sw x JOIN sw y ON x.w = y.w AND x.source < y.source
             GROUP BY x.source, y.source
+        """,
+        "kmv_source_overlap": """
+            WITH sw AS (
+                SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            cnt AS (SELECT source, COUNT(*) AS cnt FROM sw GROUP BY source),
+            inter AS (
+                SELECT x.source AS source_a, y.source AS source_b,
+                       COUNT(*) AS inter_words
+                FROM sw x JOIN sw y ON x.w = y.w AND x.source < y.source
+                GROUP BY x.source, y.source
+            )
+            SELECT i.source_a, i.source_b, i.inter_words,
+                   ca.cnt + cb.cnt - i.inter_words AS union_words,
+                   TRUE AS kmv_jaccard_ok,
+                   TRUE AS kmv_inter_ok
+            FROM inter i
+            JOIN cnt ca ON ca.source = i.source_a
+            JOIN cnt cb ON cb.source = i.source_b
         """,
         "dup_clusters": """
             WITH RECURSIVE sh AS (

@@ -18,6 +18,7 @@ from .fd import FrequentDirections
 from .hll import HLL
 from .quotient import QuotientFilter, QuotientFilterFull
 from .kll import KLL
+from .kmv import KMV
 from .reservoir import Reservoir
 from .tdigest import TDigest
 from .topk import LossyCounter, TopK
@@ -29,6 +30,7 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "KMV",
     "LossyCounter",
     "TopK",
     "Reservoir",

@@ -58,6 +58,7 @@ from .cms import CountMinSketch
 from .fd import FrequentDirections
 from .hll import HLL
 from .kll import KLL
+from .kmv import KMV
 from .reservoir import Reservoir
 from .tdigest import TDigest
 from .topk import LossyCounter, TopK
@@ -66,6 +67,7 @@ KERNELS = {
     "ams": AMSCountSketch,
     "fd": FrequentDirections,
     "hll": HLL,
+    "kmv": KMV,
     "cms": CountMinSketch,
     "bloom": BloomFilter,
     "tdigest": TDigest,
@@ -79,15 +81,15 @@ _NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
 # consume int64; string inputs are pre-hashed JVM-side (note: for lossy /
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)
-_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams")
+_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams", "kmv")
 # kinds whose final state is provably IDENTICAL when fed globally
 # pre-aggregated (value, count) rows instead of the raw stream: HLL and
 # Bloom updates are idempotent, CMS/AMS counter adds are commutative sums
 # (exact in int64). topk is excluded — its candidate heap retention
 # depends on per-partition arrival order, so states are only
 # estimate-equivalent, not byte-equal; lossy is windowed by definition.
-_PREAGG_KINDS = frozenset({"hll", "cms", "bloom", "ams", "topk"})
-_PREAGG_AUTO = ("hll", "cms", "bloom", "ams")
+_PREAGG_KINDS = frozenset({"hll", "cms", "bloom", "ams", "topk", "kmv"})
+_PREAGG_AUTO = ("hll", "cms", "bloom", "ams", "kmv")
 
 
 @dataclass(frozen=True)

@@ -75,6 +75,35 @@ def ams_l2(state: pd.Series) -> pd.Series:
     return pd.Series([float(load_state(b).l2()) for b in state])
 
 
+@F.pandas_udf(DoubleType())
+def kmv_distinct(state: pd.Series) -> pd.Series:
+    """Distinct-count estimate from a KMV state column (exact below k,
+    else the unbiased (k−1)/U_(k); Beyer SIGMOD'07)."""
+    return pd.Series([float(load_state(b).distinct()) for b in state])
+
+
+@F.pandas_udf(DoubleType())
+def kmv_jaccard(state_a: pd.Series, state_b: pd.Series) -> pd.Series:
+    """Jaccard resemblance between two KMV state columns: the shared
+    fraction of the union synopsis's bottom-k (std ≤ 0.5/√k) — a
+    DIRECT pairwise estimate, unlike HLL inclusion–exclusion whose
+    error is relative to the set sizes rather than to J."""
+    return pd.Series(
+        [float(load_state(a).jaccard(load_state(b))) for a, b in zip(state_a, state_b)]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def kmv_intersection(state_a: pd.Series, state_b: pd.Series) -> pd.Series:
+    """|A∩B| ≈ J(A,B)·|A∪B| from two KMV state columns."""
+    return pd.Series(
+        [
+            float(load_state(a).intersection_distinct(load_state(b)))
+            for a, b in zip(state_a, state_b)
+        ]
+    )
+
+
 def quantile_udf(q: float):
     """Works for both tdigest and KLL states (same .quantile API)."""
 
@@ -237,12 +266,16 @@ def register_sql_functions(spark) -> None:
                   "WHERE sketch = 'hll'")
 
     Registered: hll_count, bloom_len, cms_total, ams_f2, ams_l2,
+    kmv_distinct, kmv_jaccard(a, b), kmv_intersection(a, b),
     reservoir_seen, reservoir_size, tdigest_quantile(state, q),
     tdigest_cdf(state, x).
     """
     spark.udf.register("hll_count", hll_count)
     spark.udf.register("ams_f2", ams_f2)
     spark.udf.register("ams_l2", ams_l2)
+    spark.udf.register("kmv_distinct", kmv_distinct)
+    spark.udf.register("kmv_jaccard", kmv_jaccard)
+    spark.udf.register("kmv_intersection", kmv_intersection)
     spark.udf.register("bloom_len", bloom_len)
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("reservoir_seen", reservoir_seen)

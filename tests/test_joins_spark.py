@@ -116,3 +116,40 @@ def test_sql_ams_estimators(spark, seq_small):
     for r in rows:
         assert abs(r.f2 - exact[r.source]) <= (3.0 / 8192**0.5) * exact[r.source]
         assert r.l2 == pytest.approx(r.f2**0.5)
+
+
+def test_sql_kmv_estimators(spark, seq_small):
+    from sketchlib.agg import SketchSpec, sketch_aggregate
+    from sketchlib.estimates import register_sql_functions
+
+    register_sql_functions(spark)
+    merged = sketch_aggregate(
+        seq_small,
+        ["source"],
+        [SketchSpec("kmv", "kmv", "tokens", {"k": 1024, "seed": 11})],
+        fanout=8,
+    )
+    merged.createOrReplaceTempView("kmv_sql_test")
+    rows = spark.sql(
+        "SELECT source, kmv_distinct(state) AS est FROM kmv_sql_test"
+    ).collect()
+    exact = {
+        r.source: r.cnt
+        for r in seq_small.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("cnt"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert abs(r.est - exact[r.source]) <= 5.0 / (1022**0.5) * exact[r.source]
+    # pairwise jaccard SQL surface: the pair join over state rows
+    pairs = spark.sql(
+        """
+        SELECT a.source AS sa, b.source AS sb,
+               kmv_jaccard(a.state, b.state) AS j
+        FROM kmv_sql_test a JOIN kmv_sql_test b ON a.source < b.source
+        """
+    ).collect()
+    assert len(pairs) == len(exact) * (len(exact) - 1) // 2
+    assert all(0.0 <= p.j <= 1.0 for p in pairs)

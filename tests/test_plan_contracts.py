@@ -32,6 +32,7 @@ CARTESIAN_OK = {
     "winnow_guarantee",
     # pair join over #sources merged STATE rows (KB), never the corpus
     "hll_set_algebra",
+    "kmv_source_overlap",
 }
 
 def _all_plans(spark):
