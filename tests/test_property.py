@@ -10,7 +10,7 @@ tree merge relies on (partition layout must never change results).
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from sketchlib import HLL, BloomFilter, CountMinSketch, KLL, TDigest
+from sketchlib import HLL, KMV, BloomFilter, CountMinSketch, KLL, TDigest
 
 SETTINGS = dict(max_examples=25, deadline=None)
 
@@ -160,3 +160,21 @@ def test_cms_dense_and_sparse_paths_byte_identical(values, w, d, chunk):
         b.update(v[i : i + chunk])
     assert a.to_bytes() == b.to_bytes()
     assert a.total() == v.size
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st, k=st.integers(8, 256))
+@settings(**SETTINGS)
+def test_kmv_merge_equals_whole_and_estimates(values, cuts, order, k):
+    v = np.array(values, dtype=np.int64)
+    whole = KMV(k=k, seed=7)
+    whole.update(v)
+    merged = _merged(KMV, {"k": k, "seed": 7}, _split(v, cuts), order)
+    assert merged.to_bytes() == whole.to_bytes()  # byte-identical state
+    exact = len(set(values))
+    if exact < k:
+        assert whole.distinct() == exact  # exact below k
+    else:
+        assert abs(whole.distinct() - exact) <= max(6 / np.sqrt(k - 2) * exact, 3)
+    # self-similarity is exactly 1; state stays sorted+distinct
+    assert whole.jaccard(merged) == 1.0
+    assert np.all(np.diff(whole.mins.astype(np.uint64)) > 0)
