@@ -2256,23 +2256,20 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, "source_a")
         .join(cb, "source_b")
         .join(est, ["source_a", "source_b"])
+        .withColumn("union_words", F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
         .select(
             "source_a",
             "source_b",
             "inter_words",
-            (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words")).alias("union_words"),
+            "union_words",
             # cross-multiplied: |J_est·union − inter| ≤ bound·union
             (
-                F.abs(
-                    F.col("j_est") * (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
-                    - F.col("inter_words")
-                )
-                <= F.lit(j_bound) * (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
+                F.abs(F.col("j_est") * F.col("union_words") - F.col("inter_words"))
+                <= F.lit(j_bound) * F.col("union_words")
             ).alias("kmv_jaccard_ok"),
             (
                 F.abs(F.col("i_est") - F.col("inter_words"))
-                <= F.lit(0.25) * (F.col("cnt_a") + F.col("cnt_b") - F.col("inter_words"))
-                + F.lit(3.0)
+                <= F.lit(0.25) * F.col("union_words") + F.lit(3.0)
             ).alias("kmv_inter_ok"),
         )
     )

@@ -82,13 +82,18 @@ _NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)
 _HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams", "kmv")
-# kinds whose final state is provably IDENTICAL when fed globally
-# pre-aggregated (value, count) rows instead of the raw stream: HLL and
-# Bloom updates are idempotent, CMS/AMS counter adds are commutative sums
-# (exact in int64). topk is excluded — its candidate heap retention
-# depends on per-partition arrival order, so states are only
-# estimate-equivalent, not byte-equal; lossy is windowed by definition.
+# _PREAGG_KINDS gates count_col VALIDITY: kinds whose update_unique
+# consumes (value, count) rows exactly (counts summed or idempotently
+# ignored). topk qualifies here — its CMS substrate is count-exact —
+# but is NOT in _PREAGG_AUTO below: its candidate-heap retention
+# depends on per-partition arrival order, so pre-agg states are only
+# estimate-equivalent, not byte-equal. lossy is windowed by definition
+# and belongs to neither.
 _PREAGG_KINDS = frozenset({"hll", "cms", "bloom", "ams", "topk", "kmv"})
+# _PREAGG_AUTO is the stricter set sketch_aggregate(pre_agg=True)
+# auto-routes: final state provably BYTE-IDENTICAL to the raw path
+# (HLL register-max / Bloom OR / KMV bottom-k are idempotent,
+# CMS/AMS counter adds are commutative int64 sums; pytest-asserted).
 _PREAGG_AUTO = ("hll", "cms", "bloom", "ams", "kmv")
 
 

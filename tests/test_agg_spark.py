@@ -185,6 +185,7 @@ def test_preagg_byte_identical_states(spark, seq_small):
         SketchSpec("cms", "cms", "tokens", {"w": 2048, "d": 4, "seed": 7}),
         SketchSpec("bloom", "bloom", "tokens", {"m": 1 << 16, "k": 5, "seed": 7}),
         SketchSpec("ams", "ams", "tokens", {"w": 1024, "d": 5, "seed": 7}),
+        SketchSpec("kmv", "kmv", "tokens", {"k": 512, "seed": 7}),
         SketchSpec("td", "tdigest", "n_tok", {"delta": 100.0}),
     ]
     raw = {
@@ -201,9 +202,10 @@ def test_preagg_byte_identical_states(spark, seq_small):
     for key in raw:
         assert raw[key][1] == pre[key][1], f"n_updates mismatch for {key}"
         if key[1] == "td":
-            # t-digest partial-tree shapes differ between the two jobs'
-            # partitionings only if the input partitioning differs —
-            # here it is the same cached frame, so bytes match too
+            # t-digest is NOT in the pre-agg set — it rides the raw
+            # path in both jobs, but its merge is only value-
+            # associative, so byte equality is not part of the
+            # contract; n_updates equality above is the assertion
             continue
         assert raw[key][0] == pre[key][0], f"state bytes differ for {key}"
 

@@ -176,5 +176,6 @@ def test_kmv_merge_equals_whole_and_estimates(values, cuts, order, k):
     else:
         assert abs(whole.distinct() - exact) <= max(6 / np.sqrt(k - 2) * exact, 3)
     # self-similarity is exactly 1; state stays sorted+distinct
+    # (compare elementwise — uint64 diff would wrap on out-of-order)
     assert whole.jaccard(merged) == 1.0
-    assert np.all(np.diff(whole.mins.astype(np.uint64)) > 0)
+    assert bool(np.all(whole.mins[1:] > whole.mins[:-1]))
