@@ -13,6 +13,9 @@ from sketchlib.streaming import current_states, sketch_stream_writer
 SPECS = [
     SketchSpec("hll", "hll", "tokens", {"p": 12, "seed": 1}),
     SketchSpec("cms", "cms", "tokens", {"w": 1024, "d": 4, "seed": 1}),
+    # kmv: bottom-k union is idempotent, so stream==batch byte-identity
+    # covers it with no extra assertions
+    SketchSpec("kmv", "kmv", "tokens", {"k": 256, "seed": 1}),
 ]
 
 
