@@ -852,10 +852,15 @@ def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["source"]: CountSketch.from_bytes(bytes(r["state"]))
         for r in merged.select("source", "state").collect()
     }
-    counts = (
+    from sketchlib import caches
+
+    # two consumers below (per-source rollup, top-3 window) — persist so
+    # the explode+groupBy pass over the corpus runs once
+    counts = caches.register(
         docs.select("source", F.explode("words").alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     stats = {
         r["source"]: (int(r["n_words"]), int(r["f2"]))
@@ -3567,12 +3572,13 @@ def oracle_sql() -> dict[str, str]:
         # ids [0, 3k) -> exactly the intra-cluster pairs; singleton ids
         # (offset 1e6) contribute zero pairs
         "simhash_neardup": """
-            WITH n AS (SELECT COUNT(*) // 6 AS k FROM documents),
-                 m AS (
-                     SELECT r.i AS id
-                     FROM range(30000) r(i), n
-                     WHERE r.i < 3 * n.k
-                 )
+            WITH m AS (
+                -- cluster-member ids [0, 3k): doc_id is contiguous
+                -- 0..n-1 at every SF, so the table itself supplies the
+                -- id domain (no fixed-size range() to outgrow)
+                SELECT doc_id AS id FROM documents
+                WHERE doc_id < 3 * (SELECT COUNT(*) // 6 FROM documents)
+            )
             SELECT a.id AS doc_a, b.id AS doc_b
             FROM m a JOIN m b ON a.id // 3 = b.id // 3 AND a.id < b.id
         """,

@@ -202,30 +202,6 @@ def _resolve_specs(df: DataFrame, specs: list[SketchSpec]) -> tuple[DataFrame, l
     return out, resolved
 
 
-def _column_values(batch: pa.RecordBatch, col: str, want_float: bool):
-    """Extract (values ndarray, row_index_per_value ndarray) from a batch
-    column. Array columns flatten zero-copy; row index maps each value
-    back to its originating row for group assignment."""
-    arr = batch.column(col)
-    n = batch.num_rows
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-        lengths = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        values = arr.flatten().to_numpy(zero_copy_only=False)
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    else:
-        if arr.null_count:
-            valid = arr.is_valid().to_numpy(zero_copy_only=False)
-            values = arr.fill_null(0).to_numpy(zero_copy_only=False)
-            row_idx = np.flatnonzero(valid)
-            values = values[row_idx]
-        else:
-            values = arr.to_numpy(zero_copy_only=False)
-            row_idx = np.arange(n, dtype=np.int64)
-    if want_float:
-        values = values.astype(np.float64, copy=False)
-    return values, row_idx
-
-
 def _grouped_column(arr: pa.Array, want_float: bool, row_order, row_bounds: np.ndarray):
     """(values, value_bounds): column values reordered group-contiguously.
 
@@ -240,7 +216,20 @@ def _grouped_column(arr: pa.Array, want_float: bool, row_order, row_bounds: np.n
     is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
     if is_list:
         lengths = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        values = arr.flatten().to_numpy(zero_copy_only=False)
+        flat = arr.flatten()
+        if flat.null_count:
+            # drop null ELEMENTS and shrink their rows' lengths — a
+            # null inside an array is not a value, and keeping it
+            # would upcast integer batches to float64/NaN and sketch
+            # the garbage NaN→int cast; matches the pre_agg
+            # explode-then-filter path (byte-identity contract)
+            valid = flat.is_valid().to_numpy(zero_copy_only=False)
+            ends = np.cumsum(lengths)
+            cum_valid = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+            lengths = cum_valid[ends] - cum_valid[ends - lengths]
+            values = flat.drop_null().to_numpy(zero_copy_only=False)
+        else:
+            values = flat.to_numpy(zero_copy_only=False)
     elif arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False)
         lengths = valid.astype(np.int64)
@@ -554,8 +543,8 @@ def sketch_aggregate(
     the JVM — are the constrained resource (e.g. co-located services),
     and as an independent oracle: its states are byte-equal to the raw
     path's, which the test suite asserts. Null ARRAY ELEMENTS are
-    dropped by both paths (explode-then-filter here, Arrow flatten
-    there)."""
+    dropped by both paths (explode-then-filter here, an explicit
+    drop_null in the raw stage-1 batch path)."""
     if not pre_agg:
         return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)
     hashed_df, rspecs = _resolve_specs(df, specs)

@@ -19,6 +19,7 @@ State is an m-bit bitset packed into uint64 words.
 from __future__ import annotations
 
 import math
+import sys
 
 import numpy as np
 
@@ -26,6 +27,10 @@ from .codec import SketchCodecError, check_mergeable, pack, unpack
 from .hashing import DEFAULT_SEED, hash_i64, k_positions
 
 _U = np.uint64
+# the packbits(bitorder="little").view(uint64) dense path maps bit j of
+# byte i to word-bit i*8+j only on little-endian hosts; elsewhere fall
+# back to the (endian-agnostic) shift/or sparse path
+_LITTLE_ENDIAN = sys.byteorder == "little"
 KIND = "bloom"
 
 _HAS_BITCOUNT = hasattr(np, "bitwise_count")
@@ -83,7 +88,7 @@ class BloomFilter:
         if h.size == 0:
             return
         pos = k_positions(h, self.k, self.m, self.seed).ravel()
-        if pos.size >= (self.m >> 6):
+        if pos.size >= (self.m >> 6) and _LITTLE_ENDIAN:
             # dense batch: setting bits needs no read-modify-write, so a
             # bool scatter + packbits beats ufunc.at ~3x (measured 6.4 ->
             # 2.0 ms on 570k positions at m=2^20; byte-identical result).

@@ -188,9 +188,18 @@ class FrequentDirections:
         mat = np.frombuffer(payload, dtype=np.float64, offset=32).reshape(
             int(rows), out.dim
         )
-        out._buf[: int(rows)] = mat
-        out._rows = int(rows)
+        if int(rows) <= out._buf.shape[0]:
+            out._buf[: int(rows)] = mat
+            out._rows = int(rows)
+            out.delta_total = float(delta)
+        else:
+            # legacy blob written before the l ≤ dim clamp (its buffer
+            # held up to 2·l_old rows): fold its rows through update()
+            # — FD-merge-correct, concat + shrink — and ADD any
+            # shrinkage the fold incurs to the stored delta total so
+            # the accounting bound keeps holding
+            out.update(mat.ravel())
+            out.delta_total += float(delta)
         out.n = int(n)
         out.fro2 = float(fro2)
-        out.delta_total = float(delta)
         return out

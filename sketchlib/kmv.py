@@ -72,10 +72,12 @@ class KMV:
     @classmethod
     def with_relative_error(cls, eps_std: float, seed: int = DEFAULT_SEED) -> "KMV":
         """k for a distinct-count relative standard error of
-        ``eps_std``: k = ceil(1/eps_std²) + 2 (Beyer SIGMOD'07 §4.1)."""
+        ``eps_std``: k = ceil(1/eps_std²) + 2 (Beyer SIGMOD'07 §4.1),
+        clamped to the ctor minimum of 8 (eps_std above ~0.41 can't
+        produce a smaller synopsis)."""
         if not (0.0 < eps_std < 1.0):
             raise ValueError(f"eps_std ({eps_std}) must be in (0, 1)")
-        return cls(int(np.ceil(1.0 / (eps_std * eps_std))) + 2, seed)
+        return cls(max(8, int(np.ceil(1.0 / (eps_std * eps_std))) + 2), seed)
 
     # -- params / codec ----------------------------------------------
 

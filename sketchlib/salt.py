@@ -90,6 +90,18 @@ def skew_stats(df: DataFrame, key_col: str,
         fanout=32,
     )
     rows = {r["sketch"]: r for r in merged.collect()}
+    if "ams" not in rows:
+        # empty input / all-null key column: a defined zero profile,
+        # not a KeyError — a planner probing an empty partition gets
+        # "no skew, one bucket"
+        return {
+            "n": 0,
+            "ndv_est": 0,
+            "f2_est": 0.0,
+            "collision_prob": 0.0,
+            "max_group_upper": 0.0,
+            "suggested_buckets": 1,
+        }
     cs = CountSketch.from_bytes(bytes(rows["ams"]["state"]))
     hll = HLL.from_bytes(bytes(rows["hll"]["state"]))
     n = int(rows["ams"]["n_updates"])

@@ -227,3 +227,32 @@ def test_preagg_count_col_validation(spark, seq_small):
             ["source"],
             [SketchSpec("td", "tdigest", "n_tok", {"delta": 100.0}, count_col="n_tok")],
         ).collect()
+
+
+def test_preagg_null_array_elements_match_raw(spark):
+    """Null ARRAY ELEMENTS are dropped by BOTH build paths (review
+    finding r4): states byte-identical, n_updates counts only real
+    values."""
+    df = spark.createDataFrame(
+        [("a", [1, None, 3]), ("a", [4]), ("b", None), ("b", [None, None])],
+        "source string, tokens array<bigint>",
+    )
+    specs = [
+        SketchSpec("hll", "hll", "tokens", {"p": 10, "seed": 3}),
+        SketchSpec("cms", "cms", "tokens", {"w": 256, "d": 3, "seed": 3}),
+    ]
+    raw = {
+        (r.source, r.sketch): (bytes(r.state), r.n_updates)
+        for r in sketch_aggregate(df, ["source"], specs, fanout=None).collect()
+    }
+    pre = {
+        (r.source, r.sketch): (bytes(r.state), r.n_updates)
+        for r in sketch_aggregate(df, ["source"], specs, fanout=None, pre_agg=True).collect()
+    }
+    # source b has no non-null values: raw path emits no state for it
+    # on the cms/hll specs only if every row empty — group rows still
+    # counted; both paths must agree on the emitted key set
+    assert set(raw) == set(pre)
+    for k in raw:
+        assert raw[k] == pre[k], f"mismatch for {k}"
+    assert raw[("a", "hll")][1] == 3  # 1, 3, 4 — the null never counted

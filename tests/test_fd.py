@@ -124,3 +124,30 @@ def test_fd_merge_equals_whole_bound():
     _check_guarantee(whole, A)
     _check_guarantee(merged, A)
     assert merged.n == whole.n and merged.fro2 == pytest.approx(whole.fro2)
+
+
+def test_from_bytes_legacy_wide_blob():
+    """Blobs written before the l <= dim clamp (l > dim, buffer up to
+    2*l_old rows) must still load: rows fold through update() and the
+    accounting bound keeps holding."""
+    import struct
+
+    import numpy as np
+
+    from sketchlib.codec import pack
+    from sketchlib.fd import FrequentDirections
+
+    rng = np.random.default_rng(3)
+    dim, l_old, rows = 4, 8, 12  # 12 rows > 2*dim
+    mat = rng.standard_normal((rows, dim))
+    fro2 = float((mat * mat).sum())
+    payload = struct.pack("<qqdd", rows, rows, fro2, 0.0) + mat.astype(
+        np.float64
+    ).tobytes()
+    blob = pack("fd", {"l": l_old, "dim": dim}, payload)
+    out = FrequentDirections.from_bytes(blob)
+    assert out.l == dim and out.n == rows and out.fro2 == fro2
+    # covariance error bound still certified: delta_total within the
+    # exact-shrinkage accounting ((fro2 - ||B||_F^2) / l)
+    bf2 = float((out._buf[: out._rows] ** 2).sum())
+    assert out.delta_total <= (out.fro2 - bf2) / out.l + 1e-9

@@ -115,3 +115,9 @@ def test_empty_and_clear():
     assert s.is_empty()
     e = KMV(k=32)
     assert e.jaccard(s) == 0.0
+
+
+def test_with_relative_error_clamps_to_min_k():
+    # eps above ~0.41 would compute k < 8; the factory clamps
+    assert KMV.with_relative_error(0.5).k == 8
+    assert KMV.with_relative_error(0.9).k == 8

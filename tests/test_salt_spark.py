@@ -49,3 +49,11 @@ def test_plan_salt_buckets_and_with_salt(spark):
     salted = with_salt(df, 8, ["k"])
     got = salted.select("__salt").distinct().collect()
     assert {r["__salt"] for r in got} <= set(range(8))
+
+
+def test_skew_stats_empty_input(spark):
+    from sketchlib.salt import skew_stats
+
+    empty = spark.createDataFrame([], "k string")
+    prof = skew_stats(empty, "k")
+    assert prof["n"] == 0 and prof["suggested_buckets"] == 1
