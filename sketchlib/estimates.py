@@ -104,6 +104,49 @@ def kmv_intersection(state_a: pd.Series, state_b: pd.Series) -> pd.Series:
     )
 
 
+def kmv_pair_stats(
+    states, pairs, group_col: str = "source", state_col: str = "state"
+):
+    """Jaccard / union / intersection estimates for an EXPLICIT list of
+    group pairs — the large-G scale path (SCALE.md): two broadcastable
+    equi-joins of the KB-per-row state table against ``pairs``
+    (columns ``{group_col}_a``, ``{group_col}_b``), so the plan never
+    contains a nested-loop pair enumeration. Use this when G is too
+    large for the all-pairs state join (G² rows) and a candidate
+    generator (co-occurrence, blocking, an analyst's list) bounds the
+    pairs of interest; the corpus itself is never touched.
+
+    Returns ``pairs`` + ``kmv_jaccard/kmv_union/kmv_intersection``.
+    """
+    ca, cb = f"{group_col}_a", f"{group_col}_b"
+    a = states.select(
+        F.col(group_col).alias(ca), F.col(state_col).alias("__state_a")
+    )
+    b = states.select(
+        F.col(group_col).alias(cb), F.col(state_col).alias("__state_b")
+    )
+    joined = pairs.join(a, ca).join(b, cb)
+
+    @F.pandas_udf("jaccard double, union_est double, inter_est double")
+    def _stats(state_a: pd.Series, state_b: pd.Series) -> pd.DataFrame:
+        out = {"jaccard": [], "union_est": [], "inter_est": []}
+        for ba, bb in zip(state_a, state_b):
+            ka, kb = load_state(ba), load_state(bb)
+            j = ka.jaccard(kb)
+            u = ka.union_distinct(kb)
+            out["jaccard"].append(j)
+            out["union_est"].append(u)
+            out["inter_est"].append(j * u)
+        return pd.DataFrame(out)
+
+    return joined.withColumn("__s", _stats("__state_a", "__state_b")).select(
+        *pairs.columns,
+        F.col("__s.jaccard").alias("kmv_jaccard"),
+        F.col("__s.union_est").alias("kmv_union"),
+        F.col("__s.inter_est").alias("kmv_intersection"),
+    )
+
+
 def quantile_udf(q: float):
     """Works for both tdigest and KLL states (same .quantile API)."""
 

@@ -153,3 +153,34 @@ def test_sql_kmv_estimators(spark, seq_small):
     ).collect()
     assert len(pairs) == len(exact) * (len(exact) - 1) // 2
     assert all(0.0 <= p.j <= 1.0 for p in pairs)
+
+
+def test_kmv_pair_stats_equi_join_path(spark, seq_small):
+    """Large-G scale path: explicit pair frame + equi-joins, estimates
+    agree with the direct kernel computation; plan has no nested loop."""
+    from sketchlib.agg import SketchSpec, sketch_aggregate, load_state
+    from sketchlib.estimates import kmv_pair_stats
+
+    states = sketch_aggregate(
+        seq_small,
+        ["source"],
+        [SketchSpec("kmv", "kmv", "tokens", {"k": 512, "seed": 5})],
+        fanout=8,
+    ).select("source", "state")
+    pairs = spark.createDataFrame(
+        [("books", "web"), ("code", "wiki")], "source_a string, source_b string"
+    )
+    out = kmv_pair_stats(states, pairs)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = {(r.source_a, r.source_b): r for r in out.collect()}
+    kern = {r.source: load_state(bytes(r.state)) for r in states.collect()}
+    assert len(rows) == 2
+    for (sa, sb), r in rows.items():
+        assert r.kmv_jaccard == pytest.approx(kern[sa].jaccard(kern[sb]))
+        assert r.kmv_union == pytest.approx(kern[sa].union_distinct(kern[sb]))
+        assert r.kmv_intersection == pytest.approx(
+            kern[sa].intersection_distinct(kern[sb])
+        )
