@@ -475,6 +475,18 @@ def main() -> None:
         detail_path = None
     print(json.dumps(result, separators=(",", ":")))  # full record, 2nd-to-last line
 
+    print(compact_line(result, queries, bool(detail_path)))
+
+
+def compact_line(result: dict, queries: dict, have_detail: bool, limit: int = 1900) -> str:
+    """The FINAL stdout line: a compact JSON headline guaranteed to fit
+    the driver's ~2000-char tail capture (round 3's unbounded line
+    didn't, and the whole perf record became unverifiable). Verbosity
+    degrades in fixed order until the line fits — the headline value
+    and the scaling-efficiency record (the north-rule evidence) are
+    the LAST things to go: query values lose precision first, then
+    redundant headline derivatives, then the query map itself (the
+    detail file still carries it). Unit-tested in tests/test_bench_line.py."""
     compact = {
         "metric": "4-sketch build wall (HLL+CMS+Bloom per token, t-digest per doc, per source)",
         "value": result.get("value"),
@@ -491,13 +503,8 @@ def main() -> None:
             k: s.get(k)
             for k in ("cores_low", "cores_high", "wall_low", "wall_high", "efficiency")
         }
-    if detail_path:
+    if have_detail:
         compact["detail"] = "BENCH_DETAIL.json"
-    # degrade verbosity, never content, until the line fits (~1900 B
-    # leaves margin inside the 2000-char tail window). Ordered so the
-    # headline value and the scaling-efficiency record (the north-rule
-    # evidence) are the LAST things to go — query values lose precision
-    # first, then redundant headline derivatives.
     trims = [
         lambda c: c.update(metric="4-sketch build wall"),
         lambda c: c.update(
@@ -520,11 +527,11 @@ def main() -> None:
     ]
     line = json.dumps(compact, separators=(",", ":"))
     for trim in trims:
-        if len(line) <= 1900:
+        if len(line) <= limit:
             break
         trim(compact)
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,76 @@
+"""bench.py final-line contract: the compact JSON must always fit the
+driver's tail capture and keep headline + scaling to the bitter end
+(round 3's unbounded line produced BENCH parsed:null)."""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import compact_line  # noqa: E402
+
+
+def _result(nq, qname_len=28, val=21.34):
+    queries = {f"q{'x' * qname_len}{i:03d}": val for i in range(nq)}
+    return (
+        {
+            "value": 9.0,
+            "sf": 0.1,
+            "tokens": 619109054,
+            "tokens_per_sec": 68827594,
+            "token_updates_per_sec": 206500000,
+            "scaling": {
+                "cores_low": 2,
+                "cores_high": 8,
+                "wall_low": 44.53,
+                "wall_high": 12.04,
+                "efficiency": 0.925,
+                "samples": {2: 1, 8: 1},
+            },
+        },
+        queries,
+    )
+
+
+def test_line_fits_and_parses_at_current_query_count():
+    import __spark_entry__ as mod
+
+    result, _ = _result(0)
+    queries = {name: 21.34 for name in mod.queries()}
+    line = compact_line(result, queries, True)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["value"] == 9.0
+    assert d["scaling"]["efficiency"] == 0.925
+    assert len(d["queries"]) == len(queries)
+
+
+def test_scaling_survives_absurd_query_growth():
+    # even at 200 long-named queries the scaling record must survive;
+    # the queries map is allowed to drop (detail file still has it)
+    result, queries = _result(200)
+    line = compact_line(result, queries, True)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["scaling"]["efficiency"] == 0.925
+    assert d["value"] == 9.0
+
+
+def test_error_strings_pass_through_trims():
+    result, queries = _result(80)
+    queries["broken_query"] = "ERROR: ValueError"
+    line = compact_line(result, queries, True)
+    d = json.loads(line)
+    if "queries" in d:
+        assert d["queries"]["broken_query"] == "ERROR: ValueError"
+
+
+def test_no_trim_when_small():
+    result, queries = _result(3, qname_len=4)
+    line = compact_line(result, queries, True)
+    d = json.loads(line)
+    # untrimmed: long metric, full precision, detail pointer intact
+    assert d["metric"].startswith("4-sketch build wall (")
+    assert d["detail"] == "BENCH_DETAIL.json"
+    assert d["tokens"] == 619109054
