@@ -51,6 +51,7 @@ CERT_CAP = 4096
 HLL_P = 14
 HLL_SLACK = 4 * 1.04 / math.sqrt(2**HLL_P)  # 4 sigma of the published bound
 KMV_K = 1024  # kmv_source_overlap: Jaccard std 0.5/sqrt(k) ~ 1.6%
+KMV_SLACK = 5.0 / math.sqrt(KMV_K - 2)  # 5 sigma of (k-1)/U_(k) rel std
 
 
 _PYFILES_SENT: set = set()
@@ -316,6 +317,7 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["source"],
         [
             SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED}),
+            SketchSpec("kmv", "kmv", "words", {"k": KMV_K, "seed": SEED}),
             SketchSpec("td", "tdigest", "n_chars", {"delta": 200.0}),
         ],
         fanout=8,
@@ -334,15 +336,19 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         est AS (
             SELECT h.source,
                    hll_count(h.state) AS hll_est,
+                   kmv_distinct(k.state) AS kmv_est,
                    tdigest_quantile(t.state, 0.0d) AS td_min
             FROM sketch_states h
+            JOIN sketch_states k ON h.source = k.source
             JOIN sketch_states t ON h.source = t.source
-            WHERE h.sketch = 'hll' AND t.sketch = 'td'
+            WHERE h.sketch = 'hll' AND k.sketch = 'kmv' AND t.sketch = 'td'
         )
         SELECT exact.source,
                exact.distinct_words,
                ABS(est.hll_est - exact.distinct_words)
                    <= GREATEST({HLL_SLACK} * exact.distinct_words, 3.0) AS hll_ok,
+               ABS(est.kmv_est - exact.distinct_words)
+                   <= GREATEST({KMV_SLACK} * exact.distinct_words, 3.0) AS kmv_ok,
                est.td_min = CAST(exact.min_chars AS DOUBLE) AS td_min_ok
         FROM exact JOIN est ON exact.source = est.source
     """)
@@ -3385,6 +3391,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    COUNT(DISTINCT w) AS distinct_words,
                    TRUE AS hll_ok,
+                   TRUE AS kmv_ok,
                    TRUE AS td_min_ok
             FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
             GROUP BY source
