@@ -113,9 +113,13 @@ class CountSketch:
             counts = np.asarray(counts).astype(np.int64)
         pos = k_positions(h, self.d, self.w, self.seed)
         signed = self._signs(h) * counts[None, :]
-        if h.size * 4 >= self.w:
-            # dense batch: bincount per row (same trade as cms.py —
-            # float64 weights exact far below 2^53)
+        # same trade as cms.py, signed: float64 bincount weights are
+        # integer-exact only while every per-bin partial sum stays below
+        # 2^53 in magnitude; Σ|c| bounds every partial sum, so gate on
+        # it (ADVICE r5) and fall back to the exact int64 np.add.at path
+        abs_sum = float(np.abs(counts.astype(np.float64)).sum())
+        if h.size * 4 >= self.w and abs_sum < float(1 << 53):
+            # dense batch: bincount per row
             for i in range(self.d):
                 self.table[i] += np.bincount(
                     pos[i].astype(np.int64),

@@ -280,7 +280,8 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
     sig = caches.register(
         _bucketed(
             srp_signatures(emb, id_col, vec_col, dim, n_bits, n_tables, seed)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+        owner="ann.srp",
     )
     if bucket_cap is not None:
         hot = (

@@ -84,11 +84,15 @@ class CountMinSketch:
         else:
             counts = np.asarray(counts).astype(np.uint64)
         pos = k_positions(h, self.d, self.w, self.seed)
-        if h.size * 4 >= self.w:
-            # dense batch: bincount per row beats ufunc.at ~3x (measured
-            # 5.3 -> 1.7 ms on an 81k-unique batch at w=8192). float64
-            # weights are exact here: per-batch sums are integers far
-            # below 2^53.
+        # dense batch: bincount per row beats ufunc.at ~3x (measured
+        # 5.3 -> 1.7 ms on an 81k-unique batch at w=8192). float64
+        # weights are integer-exact ONLY while every per-bin partial sum
+        # stays below 2^53 (ADVICE r5) — the batch total bounds every
+        # bin, so gate on it (float64 sum of uint64 is exact far past
+        # any realistic batch; near the gate over-triggering the exact
+        # fallback is harmless) and fall back to np.add.at otherwise.
+        batch_sum = float(counts.astype(np.float64).sum())
+        if h.size * 4 >= self.w and batch_sum < float(1 << 53):
             cf = counts.astype(np.float64)
             for i in range(self.d):
                 self.table[i] += np.bincount(

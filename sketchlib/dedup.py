@@ -323,7 +323,8 @@ def simhash_neardup_pairs(
     sig = caches.register(
         simhash_signatures(rep_docs, "doc_id", "__w", seed).persist(
             StorageLevel.MEMORY_AND_DISK
-        )
+        ),
+        owner="dedup.simhash",
     )
     parts = sig.select(
         "doc_id",
@@ -400,7 +401,9 @@ def minhash_neardup_pairs(
     # per action (measured 20x+ recompute). Spills to disk if it
     # outgrows memory; at full scale you would write this stage out
     # explicitly instead.
-    shingles = caches.register(shingles.persist(StorageLevel.MEMORY_AND_DISK))
+    shingles = caches.register(
+        shingles.persist(StorageLevel.MEMORY_AND_DISK), owner="dedup.minhash"
+    )
     # ONE Arrow pass computes the exact-dup fingerprint AND the minhash
     # band keys for every doc; rep-collapse then filters on these small
     # rows. (The previous shape joined the full shingle ARRAYS against
@@ -416,7 +419,9 @@ def minhash_neardup_pairs(
             ]
         ),
     )
-    sigs = caches.register(sigs.persist(StorageLevel.MEMORY_AND_DISK))
+    sigs = caches.register(
+        sigs.persist(StorageLevel.MEMORY_AND_DISK), owner="dedup.minhash"
+    )
     reps = sigs.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     members = sigs.select("doc_id", "fp").join(reps, "fp").select("doc_id", "fp", "rep")
     rep_keys = sigs.join(reps.select(F.col("rep").alias("doc_id")), "doc_id").select(
@@ -424,7 +429,8 @@ def minhash_neardup_pairs(
     )
     exploded = rep_keys.select("doc_id", F.posexplode("band_keys").alias("band", "key"))
     exploded = caches.register(
-        _cap_bucket_keys(exploded, bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
+        _cap_bucket_keys(exploded, bucket_cap).persist(StorageLevel.MEMORY_AND_DISK),
+        owner="dedup.minhash",
     )
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -292,10 +292,35 @@ def point_query_udf(spark, state_by_group: dict):
     return _freq
 
 
-def collect_states(merged, group_cols: list[str], sketch_name: str) -> dict:
+def collect_states(
+    merged, group_cols: list[str], sketch_name: str, max_groups: int = 100_000
+) -> dict:
     """Collect {group_value(s): state_bytes} for one sketch from the
-    merged table — kilobytes per group, safe to broadcast."""
-    rows = merged.filter(F.col("sketch") == sketch_name).select(*group_cols, "state").collect()
+    merged table — kilobytes per group, safe to broadcast.
+
+    ``max_groups`` bounds the driver-side collect: a bounded group
+    space (sources, languages, event types) is the design point of the
+    broadcast path, and a 100× scale-up that silently explodes the
+    group count must fail LOUDLY here rather than OOM the driver.
+    Large-G users should keep the states distributed and join against
+    them instead — see :func:`kmv_pair_stats` (equi-join against an
+    explicit pair list) for the pattern. The guard costs no extra job:
+    it reads at most ``max_groups + 1`` rows via limit.
+    """
+    rows = (
+        merged.filter(F.col("sketch") == sketch_name)
+        .select(*group_cols, "state")
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"collect_states: > {max_groups} groups for sketch "
+            f"'{sketch_name}' — the broadcast point-query path collects "
+            "one state per group and is meant for bounded group spaces; "
+            "raise max_groups deliberately, or keep states distributed "
+            "and equi-join against them (see kmv_pair_stats / SCALE.md)"
+        )
     if len(group_cols) == 1:
         return {r[0]: bytes(r[1]) for r in rows}
     return {tuple(r[:-1]): bytes(r[-1]) for r in rows}

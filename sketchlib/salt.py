@@ -42,13 +42,24 @@ def salted_repartition(df: DataFrame, group_cols: list[str], buckets: int,
 
 
 def plan_salt_buckets(df: DataFrame, group_cols: list[str],
-                      target_rows_per_bucket: int = 2_000_000) -> dict:
+                      target_rows_per_bucket: int = 2_000_000,
+                      max_groups: int = 100_000) -> dict:
     """Observe per-group row counts and suggest a salt bucket count per
     group (max 1 per `target_rows_per_bucket` rows). Cheap: one count
     aggregation, pushed down to a columnar scan. Collects one row per
     GROUP — right when the group space is bounded (sources, languages);
-    for unbounded key spaces use :func:`skew_stats` instead."""
-    counts = df.groupBy(*group_cols).count().collect()
+    ``max_groups`` makes a silently-unbounded key space fail loudly
+    (limit-bounded collect, no extra job) instead of OOMing the driver
+    at 100× — for unbounded key spaces use :func:`skew_stats`, whose
+    sketch profile shuffles only KB state rows."""
+    counts = df.groupBy(*group_cols).count().limit(max_groups + 1).collect()
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"plan_salt_buckets: > {max_groups} groups — this planner "
+            "collects one row per group and is meant for bounded group "
+            "spaces; use skew_stats (sketch-based, no per-key collect) "
+            "for unbounded keys, or raise max_groups deliberately"
+        )
     out = {}
     for r in counts:
         key = r[0] if len(group_cols) == 1 else tuple(r[:-1])

@@ -224,7 +224,7 @@ def bpe_train(
         # so caches.release_caches() can drop it deterministically (the
         # rewrite chain is deterministic, so a post-release recompute is
         # merely slower, never different)
-        return caches.register(cur), merges
+        return caches.register(cur, owner="tokenops.bpe"), merges
     except Exception:
         cur.unpersist()
         raise
@@ -277,7 +277,7 @@ def novelty_signals(
 def fit_bigram_lm(df: DataFrame, words_col: str) -> tuple[DataFrame, DataFrame, int]:
     """Fit the add-k bigram LM tables: returns (bigrams(w1,w2,c),
     unigrams(w1,c1), vocab_size). One pass / two grouped counts."""
-    bi = caches.register(bigram_counts(df, words_col).persist())
+    bi = caches.register(bigram_counts(df, words_col).persist(), owner="tokenops.lm")
     uni = bi.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = df.select(F.explode(words_col).alias("w")).agg(
         F.countDistinct("w").alias("v")
@@ -400,10 +400,13 @@ def global_offsets(df: DataFrame, order_col, len_col, n_parts: int = 0) -> DataF
     the output must see the SAME partitioning (recomputing could
     resample different boundaries and corrupt the prefix map). The
     function cannot unpersist (the caller hasn't materialized yet), so
-    the handle is registered with :mod:`sketchlib.caches`; after
-    materializing the result, call ``sketchlib.caches.release_caches()``
-    to drop exactly the library's caches (deterministic, unlike
-    ``spark.catalog.clearCache()``).
+    the handle is registered with :mod:`sketchlib.caches` under owner
+    ``"tokenops.global_offsets"``; after materializing the result, call
+    ``sketchlib.caches.release_caches("tokenops.global_offsets")`` to
+    drop exactly THIS operator's cache — safe even while some other
+    operator's lazy result is still unmaterialized (a bare
+    ``release_caches()`` sweep is for sessions that have materialized
+    everything, e.g. bench between samples).
     """
     from pyspark.sql import Window
 
@@ -416,7 +419,7 @@ def global_offsets(df: DataFrame, order_col, len_col, n_parts: int = 0) -> DataF
         "__pid", F.spark_partition_id()
     )
     ranged = ranged.withColumn("__len", F.lit(len_col) if isinstance(len_col, int) else len_col)
-    ranged = caches.register(ranged.persist())
+    ranged = caches.register(ranged.persist(), owner="tokenops.global_offsets")
     totals = (
         ranged.groupBy("__pid").agg(F.sum("__len").alias("__tot")).collect()
     )

@@ -98,3 +98,23 @@ def test_signed_deletion_net_zero():
     cs.update_hashed(__import__("sketchlib.hashing", fromlist=["hash_i64"]).hash_i64(uniq, 2), counts)
     cs.update_hashed(__import__("sketchlib.hashing", fromlist=["hash_i64"]).hash_i64(uniq, 2), -counts)
     assert cs.is_empty()
+
+
+def test_huge_counts_stay_exact_past_float53():
+    """ADVICE r5 (same gate as cms.py): a signed batch whose Σ|c|
+    crosses 2^53 must take the exact int64 np.add.at path — float64
+    bincount weights would silently round the odd low bit."""
+    import numpy as np
+
+    big = np.int64(1) << np.int64(53)
+    h = np.arange(64, dtype=np.int64)
+    counts = np.ones(64, dtype=np.int64)
+    counts[0] = big + 1  # odd: float64 rounds to even above 2^53
+    from sketchlib.hashing import hash_i64
+
+    cs = CountSketch(16, 1, seed=3)  # dense-eligible shape
+    cs.update_hashed(hash_i64(h, cs.seed), counts)
+    # net table mass is exactly Σ sign*c; remove everything and the
+    # exact-zero invariant only holds if no float rounding occurred
+    cs.update_hashed(hash_i64(h, cs.seed), -counts)
+    assert cs.is_empty()

@@ -106,3 +106,22 @@ def test_query_absent_keys_small():
     c.update(np.arange(100))
     est = c.query_points(np.arange(10_000, 10_100))
     assert (est.astype(np.int64) <= 1).all()  # nearly-empty table ⇒ ~0
+
+
+def test_huge_counts_stay_exact_past_float53():
+    """ADVICE r5: the dense bincount fast path accumulates through
+    float64 weights, which stop being integer-exact at 2^53. A batch
+    whose total crosses that line must take the exact uint64 path and
+    produce counts with no float rounding."""
+    big = np.uint64(1) << np.uint64(53)  # 2^53: float64 granularity = 2
+    h = np.arange(64, dtype=np.int64)
+    counts = np.full(64, 1, dtype=np.uint64)
+    counts[0] = big + np.uint64(1)  # odd value: float64 would round it
+    c = CountMinSketch(16, 1)  # w small => h.size*4 >= w => dense-eligible
+    from sketchlib.hashing import hash_i64
+
+    c.update_hashed(hash_i64(h, c.seed), counts)
+    est = c.query_points(h[:1]).astype(np.uint64)
+    # the odd low bit survives only on the exact integer path
+    assert est[0] >= big + np.uint64(1)
+    assert int(c.table.sum()) == int(big) + 1 + 63

@@ -73,3 +73,23 @@ def test_estimate_udfs(spark, seq_small):
     for r in hh.collect():
         assert 0 in r["hh"]
     merged.unpersist()
+
+
+def test_collect_states_bounded_collect_guard(spark):
+    """VERDICT r4 #5: the broadcast path collects one state row per
+    group; an unbounded group space must raise, not OOM the driver."""
+    import pytest
+
+    from sketchlib.agg import SketchSpec, sketch_aggregate
+    from sketchlib.estimates import collect_states
+
+    df = spark.range(200).select(
+        (F.col("id") % 20).alias("g"), (F.col("id") % 7).alias("v")
+    )
+    merged = sketch_aggregate(
+        df, ["g"], [SketchSpec("hll", "hll", "v", {"p": 6, "seed": 1})], fanout=4
+    )
+    with pytest.raises(ValueError, match="kmv_pair_stats"):
+        collect_states(merged, ["g"], "hll", max_groups=5)
+    states = collect_states(merged, ["g"], "hll", max_groups=20)
+    assert len(states) == 20

@@ -57,3 +57,16 @@ def test_skew_stats_empty_input(spark):
     empty = spark.createDataFrame([], "k string")
     prof = skew_stats(empty, "k")
     assert prof["n"] == 0 and prof["suggested_buckets"] == 1
+
+
+def test_plan_salt_buckets_bounded_collect_guard(spark):
+    """VERDICT r4 #5: one-row-per-group collects must fail loudly when
+    the group space outgrows the bound, not OOM the driver at 100x."""
+    import pytest
+
+    df = spark.range(50).select((F.col("id")).alias("k"))
+    with pytest.raises(ValueError, match="skew_stats"):
+        plan_salt_buckets(df, ["k"], max_groups=10)
+    # at or under the bound it still works
+    plan = plan_salt_buckets(df, ["k"], max_groups=50)
+    assert len(plan) == 50
