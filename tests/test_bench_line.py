@@ -74,3 +74,15 @@ def test_no_trim_when_small():
     assert d["metric"].startswith("4-sketch build wall (")
     assert d["detail"] == "BENCH_DETAIL.json"
     assert d["tokens"] == 619109054
+
+
+def test_prior_query_mins_reads_latest_round_artifact():
+    """The regression-suspect resampler keys off the latest round's
+    per-query numbers; the helper must survive the driver's
+    {"parsed": {...}} wrapper and skip non-numeric entries."""
+    import bench
+
+    pm = bench.prior_query_mins()
+    # repo carries BENCH_r04.json with a parsed queries map
+    assert pm, "expected prior mins from the repo's BENCH_r*.json"
+    assert all(isinstance(v, (int, float)) for v in pm.values())
