@@ -34,7 +34,7 @@ if _REPO not in _pp.split(os.pathsep):
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from sketchlib.agg import SketchSpec, sketch_aggregate
+from sketchlib.agg import SketchSpec, sketch_aggregate, sketch_aggregate_direct
 from sketchlib.estimates import collect_states, hll_count, membership_udf, point_query_udf
 from sketchlib.hll import HLL
 from sketchlib.cms import CountMinSketch
@@ -172,6 +172,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
+
+
+def q_direct_feed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The direct parquet-split stage-1 feed (r5,
+    `agg.build_partials_direct`: Python workers read their own parquet
+    splits, one task per handful of files, no raw row ever crosses the
+    JVM↔Python boundary) vs the default JVM-scan feed: HLL + CMS +
+    Bloom over events.user_id per event_type through BOTH feeds, then
+    per group (a) the feeds' merged states compared byte-for-byte —
+    commutative/idempotent kernels must not see the feed at all —
+    (b) the HLL estimate checked against the exact distinct count, and
+    (c) n_updates checked against the exact non-null value count.
+    Reference relationship: the merge-equivalence contract
+    (hyperloglog/mod.rs:556-574) applied across FEEDS, not just
+    partition orders."""
+    path = os.path.join(sf_dir, "events.parquet")
+    specs = [
+        SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED}),
+        SketchSpec("cms", "cms", "user_id", {"w": 2048, "d": 5, "seed": SEED}),
+        SketchSpec("bloom", "bloom", "user_id", {"m": 1 << 18, "k": 5, "seed": SEED}),
+    ]
+    ev = spark.read.parquet(path)
+    direct = sketch_aggregate_direct(spark, path, ["event_type"], specs, fanout=8)
+    default = sketch_aggregate(ev, ["event_type"], specs, fanout=8)
+    same = (
+        direct.alias("a")
+        .join(default.alias("b"), ["event_type", "sketch"])
+        .groupBy("event_type")
+        .agg(
+            (
+                F.count(F.lit(1))
+                == F.sum((F.col("a.state") == F.col("b.state")).cast("int"))
+            ).alias("feeds_byte_identical")
+        )
+    )
+    est = direct.where(F.col("sketch") == "hll").select(
+        "event_type", hll_count("state").alias("est"), "n_updates"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("user_id").alias("n_values"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .join(same, "event_type")
+        .select(
+            "event_type",
+            "distinct_users",
+            (F.col("n_updates") == F.col("n_values")).alias("updates_exact"),
+            (
+                F.abs(F.col("est") - F.col("distinct_users"))
+                <= F.greatest(F.lit(HLL_SLACK) * F.col("distinct_users"), F.lit(3.0))
+            ).alias("hll_ok"),
+            "feeds_byte_identical",
+        )
+    )
 
 
 def q_hll_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2640,6 +2696,7 @@ def q_fd_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "direct_feed_build": q_direct_feed_build,
     "fd_covariance": q_fd_covariance,
     "fd_directions": q_fd_directions,
     "hash_split": q_hash_split,
@@ -2720,6 +2777,7 @@ _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ALL queries every round regardless; this rotation is about the
 # driver's independent record.)
 _VERIFIED_ROUND: dict[str, int] = {
+    "direct_feed_build": 0,  # new in r5, never inside the window
     "kmv_source_overlap": 0,  # registered r4, never inside the window
     # last driver hash-match: round 2
     "checkpoint_resume": 2,
@@ -2757,6 +2815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "direct_feed_build": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+                   TRUE AS updates_exact,
+                   TRUE AS hll_ok,
+                   TRUE AS feeds_byte_identical
+            FROM events GROUP BY event_type
+        """,
         "fd_covariance": """
             SELECT label,
                    CAST(COUNT(*) AS BIGINT) AS n_vecs,
