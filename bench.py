@@ -290,7 +290,7 @@ def main() -> None:
     # measurement depth first (fewer scaling passes, then no second
     # peak pass) rather than risking an external kill with no output
     t_start = time.time()
-    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "560"))
     # the per-query timings must always make it into the JSON: reserve
     # their slice of the budget from the scaling/peak retries (the full
     # 62-query cold pass measures ~215-250 s at sf0.1 depending on host
@@ -388,10 +388,18 @@ def main() -> None:
         # cost-aware rather than using a flat threshold.
         def window_cost(c: int) -> float:
             w = walls[c] if walls[c] < float("inf") else 60.0
-            return w * 1.3 + 40.0  # measured run + JVM/JIT overhead
+            # retry windows skip the full warmup: measured run + JVM/JIT
+            return w * 1.2 + 30.0
 
+        # the LOW leg first: the high leg's window already holds an
+        # in-JVM best-of-2 (build_leg cores>=8), so a single high window
+        # carries two measured runs while the low leg's carries one —
+        # the low leg is where a second SEPARATED window buys the most
+        # (r5: high-first ordering left the low leg at n=1 when the
+        # budget ran out, the exact 1-window weakness VERDICT r4 #4
+        # flagged)
         while min(samples.values()) < 2:
-            c = high if samples[high] <= samples[low] else low
+            c = low if samples[low] <= samples[high] else high
             if remaining() < window_cost(c) + 10:
                 break
             sample(c)
@@ -491,6 +499,43 @@ def main() -> None:
             )
         except Exception:
             pass
+        # session warmup (same philosophy as build_leg's): spin the
+        # Python workers, JIT the codegen/shuffle paths, and run one
+        # tiny availableNow streaming query so the FIRST measured query
+        # isn't charged the engine's one-time costs. r4/r5 artifacts
+        # charged them to streaming_neardup (the first heavy query):
+        # 21.7-23.3 s recorded vs ~16 s steady-state on a quiet host.
+        try:
+            import tempfile
+
+            _wroot = tempfile.mkdtemp(prefix="bench_warm_")
+            try:
+                spark.range(0, 1 << 16, 1, 8).selectExpr(
+                    "id", "id % 7 AS g"
+                ).groupBy("g").count().collect()
+
+                def _noop(it):
+                    yield from it
+
+                spark.range(0, 1 << 12, 1, 4).mapInArrow(_noop, "id long").count()
+                _wsrc = os.path.join(_wroot, "src")
+                spark.range(0, 1000, 1, 2).selectExpr(
+                    "id", "CAST(id AS STRING) AS s"
+                ).write.parquet(_wsrc)
+                (
+                    spark.readStream.schema("id long, s string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(_wsrc)
+                    .writeStream.foreachBatch(lambda df, bid: df.count())
+                    .option("checkpointLocation", os.path.join(_wroot, "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination(60)
+                )
+            finally:
+                shutil.rmtree(_wroot, ignore_errors=True)
+        except Exception:
+            pass  # warmup is best-effort; measurement proceeds cold
         qfns = mod.queries()
         samples: dict[str, list[float]] = {}
         loads: dict[str, list[float]] = {}
@@ -526,10 +571,28 @@ def main() -> None:
             "streaming_state_equivalence",
             "checkpoint_resume",
         ]
-        pass1 = [n for n in heavy if n in qfns] + [
-            n for n in qfns if n not in heavy
-        ]
-        for name in pass1:
+        # ... but cap the heavy segment's spend: in a host-load burst a
+        # single heavy sample can balloon (run observed: streaming_neardup
+        # 83.9 s at load 10, which starved 53 queries into SKIP). Once
+        # the heavy segment has burned its budget, the REST of the heavy
+        # list defers behind the cheap tail — a burst then costs a few
+        # deferred heavy samples, never the whole query map.
+        heavy_cap = 130.0
+        heavy_spent = 0.0
+        deferred: list[str] = []
+        for name in [n for n in heavy if n in qfns]:
+            if name in queries:  # already errored
+                continue
+            if raw_remaining() < 15:
+                queries[name] = "SKIP"  # time budget
+                continue
+            if heavy_spent > heavy_cap:
+                deferred.append(name)
+                continue
+            t_h = time.time()
+            run_one(name)
+            heavy_spent += time.time() - t_h
+        for name in [n for n in qfns if n not in heavy] + deferred:
             if name in queries:  # already errored
                 continue
             if raw_remaining() < 15:
@@ -556,6 +619,22 @@ def main() -> None:
             while len(samples[name]) < 2 and raw_remaining() > min(samples[name]) * 1.5 + 12:
                 if not run_one(name):
                     break
+        # heavy queries' second window (r5): their FIRST sample absorbs
+        # the cold session/streaming-machinery costs by design (they run
+        # first), and cheapest-first resampling never reaches them — so
+        # the artifact showed streaming_neardup only ever at its cold
+        # number (27.6 s cold-session vs 16.0 s steady on a quiet host).
+        # The warm second window IS their steady-state reading; spend it
+        # before the cheap tail, priciest first.
+        for name in sorted(
+            (n for n in heavy if n in samples), key=lambda n: -min(samples[n])
+        ):
+            # gate on the WARM cost (~the first sample, which already
+            # carries the cold premium), not an inflated multiple — the
+            # whole point of this window is that it is cheaper than the
+            # cold one
+            if len(samples[name]) < 2 and raw_remaining() > min(samples[name]) + 12:
+                run_one(name)
         # steady-state passes: re-sample cheapest-first while budget
         # remains, so per-query numbers are min/median over >= 2
         # separated windows (separates host-load spikes and session
