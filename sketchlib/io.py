@@ -53,6 +53,34 @@ def write_table(df: DataFrame, ident: str, mode: str = "append") -> None:
         raise ValueError(f"unsupported mode for Iceberg table: {mode}")
 
 
+def file_manifest(spark: SparkSession, ident: str) -> list[str]:
+    """Sorted data-file manifest for the direct split feed
+    (:func:`sketchlib.agg.build_partials_direct`): a path lists its
+    parquet files via the scan's ``inputFiles`` (planning stays on the
+    driver); an Iceberg identifier reads the pinned snapshot's
+    ``.files`` metadata table — the same file set a JVM scan of that
+    snapshot would read, so feed parity holds on live tables too.
+    ``file:`` URIs are normalized to plain paths for pyarrow."""
+    if _is_path(ident):
+        files = spark.read.parquet(ident).inputFiles()
+    else:
+        files = [
+            r.file_path
+            for r in spark.read.format("iceberg")
+            .load(f"{ident}.files")
+            .select("file_path")
+            .collect()
+        ]
+    out = []
+    for f in files:
+        if f.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            f = unquote(urlparse(f).path)
+        out.append(f)
+    return sorted(out)
+
+
 def snapshot_id(spark: SparkSession, ident: str) -> str:
     """Lineage fingerprint for an input: Iceberg snapshot id when
     available, else the sorted file listing hash (stable for static

@@ -67,3 +67,45 @@ class TestIcebergBranchFakedCatalog:
     def test_iceberg_unavailable_here(self, spark):
         # honest environment statement: no Iceberg jars in this container
         assert iceberg_available(spark) is False
+
+
+def test_file_manifest_parquet_and_direct_feed(spark, tmp_path):
+    from sketchlib.agg import SketchSpec, sketch_aggregate, sketch_aggregate_direct
+    from sketchlib.io import file_manifest
+
+    path = str(tmp_path / "m.parquet")
+    spark.range(0, 500, 1, 4).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS g"
+    ).write.parquet(path)
+    files = file_manifest(spark, path)
+    assert len(files) == 4
+    assert files == sorted(files)
+    # file: URIs normalized to plain paths pyarrow can open
+    assert all(os.path.exists(f) for f in files)
+    # the manifest IS the direct feed's input: byte-parity with the JVM feed
+    specs = [SketchSpec("h", "hll", "id", {"p": 12, "seed": 1})]
+    a = {
+        (r["g"], r["sketch"]): bytes(r["state"])
+        for r in sketch_aggregate_direct(spark, files, ["g"], specs).collect()
+    }
+    b = {
+        (r["g"], r["sketch"]): bytes(r["state"])
+        for r in sketch_aggregate(spark.read.parquet(path), ["g"], specs).collect()
+    }
+    assert a == b
+
+
+def test_file_manifest_iceberg_branch():
+    rows = [mock.Mock(file_path=f"file:/tmp/ice/data/f{i}.parquet") for i in (2, 0, 1)]
+    reader = mock.Mock()
+    reader.format.return_value = reader
+    reader.load.return_value = reader
+    reader.select.return_value = reader
+    reader.collect.return_value = rows
+    spark = mock.Mock()
+    spark.read = reader
+    from sketchlib.io import file_manifest
+
+    got = file_manifest(spark, "cat.db.seq")
+    reader.load.assert_called_once_with("cat.db.seq.files")
+    assert got == [f"/tmp/ice/data/f{i}.parquet" for i in (0, 1, 2)]
