@@ -120,6 +120,12 @@ def build_leg(cores: int, path: str, warmup: bool = True,
         warm = files[:: max(1, len(files) // 8)] or files
     once(warm)
     wall, tokens = once(files)
+    # progress line after EVERY completed window: if the subprocess
+    # timeout kills this leg mid-burst, run_build salvages the best
+    # window already completed instead of discarding the whole leg
+    # (r5: two consecutive 170 s peak-leg timeouts under a load burst
+    # left the artifact's headline null and starved 29 query timings)
+    print(json.dumps({"partial": wall, "tokens": tokens}), flush=True)
     # the fast leg re-measures inside the same JVM (cheap: no restart)
     # and keeps the min — multiplies its sample count against host-load
     # bursts, which hit the high-core leg hardest; a third run only when
@@ -128,9 +134,11 @@ def build_leg(cores: int, path: str, warmup: bool = True,
     if cores >= 8:
         w2, _ = once(files)
         if abs(w2 - wall) > 0.2 * min(w2, wall):
+            print(json.dumps({"partial": min(wall, w2), "tokens": tokens}), flush=True)
             w3, _ = once(files)
             wall = min(wall, w3)
         wall = min(wall, w2)
+        print(json.dumps({"partial": wall, "tokens": tokens}), flush=True)
     out = {"wall": wall, "tokens": tokens}
     if jvm_compare:
         t0 = time.time()
@@ -252,19 +260,34 @@ def run_build(cores: int, path: str, pin: bool = True, timeout: float = 170,
         if preexec is None and shutil.which("taskset"):
             cpus = pick_quiet_cpus(cores)
             cmd = ["taskset", "-c", ",".join(map(str, cpus))] + cmd
+    def salvage(text) -> tuple[float, int, None] | None:
+        """Best completed window from a killed leg's progress lines."""
+        if isinstance(text, bytes):
+            text = text.decode("utf-8", "replace")
+        for line in reversed((text or "").strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and "partial" in rec:
+                return float(rec["partial"]), int(rec.get("tokens") or 0), None
+        return None
+
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, check=True, preexec_fn=preexec,
             timeout=max(60, timeout),
         )
-    except subprocess.TimeoutExpired:
-        # a leg stuck in a heavy host-load burst: record "no sample"
-        # rather than letting one bad window eat the whole run budget
-        return float("inf"), 0, None
-    except subprocess.CalledProcessError:
+    except subprocess.TimeoutExpired as e:
+        # a leg stuck in a heavy host-load burst: keep any window it
+        # DID complete (the progress lines) — discarding the whole leg
+        # once nulled the headline and triggered an equally doomed
+        # 170 s retry under the same burst
+        return salvage(e.stdout) or (float("inf"), 0, None)
+    except subprocess.CalledProcessError as e:
         # a crashed leg must degrade the measurement, never kill the
         # whole bench before it prints its JSON line
-        return float("inf"), 0, None
+        return salvage(e.stdout) or (float("inf"), 0, None)
     leg = json.loads(out.stdout.strip().splitlines()[-1])
     return leg["wall"], leg["tokens"], leg.get("wall_jvm")
 
@@ -445,6 +468,15 @@ def main() -> None:
         )
         tokens = tokens or tk
         wall_peak = min(wall_peak, w2)
+    if wall_peak == float("inf"):
+        # every peak window timed out under load: fall back to the
+        # capped high leg's wall — same deterministic job, honestly
+        # SLOWER than peak (8 cores of quota vs uncapped local[8]), so
+        # the headline degrades conservatively instead of going null
+        cap_high = result.get("scaling", {}).get("wall_high")
+        if cap_high:
+            wall_peak = cap_high
+            result["value_source"] = "capped-8core-leg (peak windows timed out)"
     if wall_peak < float("inf") and tokens:
         result["value"] = round(wall_peak, 2)
         result["tokens"] = tokens
@@ -702,6 +734,10 @@ def compact_line(result: dict, queries: dict, have_detail: bool, limit: int = 19
         "token_updates_per_sec": result.get("token_updates_per_sec"),
         "queries": queries,
     }
+    if result.get("value_source"):
+        # fallback provenance must reach the driver's capture, not just
+        # the detail file: it changes what "value" means
+        compact["value_source"] = result["value_source"]
     if "scaling" in result:
         s = result["scaling"]
         compact["scaling"] = {
