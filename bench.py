@@ -328,12 +328,14 @@ def main() -> None:
 
     t_gen0 = time.time()
     ensure_sequences(n_docs, seq_path)
-    # a COLD round regenerates the 2.5 GB input (~40-80 s) inside the
-    # deadline and starved the scaling legs down to 1+1 windows (r4).
-    # Credit the one-time gen cost back (capped), so warm and cold
-    # rounds see the same measurement budget; worst-case total wall
-    # stays bounded at deadline + 80 s.
-    deadline += min(time.time() - t_gen0, 80.0)
+    # a COLD round regenerates the 2.5 GB input (measured 43 s quiet,
+    # but a sustained co-tenant burst inflated it past 150 s in an r5
+    # run) inside the deadline and starved the scaling legs down to
+    # 1+1 windows (r4) or nulled the low leg entirely (r5). Credit the
+    # one-time gen cost back (capped), so warm and cold rounds see the
+    # same measurement budget; worst-case total wall stays bounded at
+    # deadline + 150 s.
+    deadline += min(time.time() - t_gen0, 150.0)
 
     result: dict = {
         "metric": "sequences 4-sketch build+merge wall time (HLL+CMS+Bloom per-token, t-digest per-doc, per source)",
@@ -397,12 +399,26 @@ def main() -> None:
             leg_loads[c].append(round(os.getloadavg()[0], 1))
             _orig_sample(c)
 
-        # one interleaved base pass, then resample where the noise is:
-        # the high leg needs 4N free cores + more memory bandwidth, so
-        # host-load bursts hit it hardest — and it is also the cheapest
-        # leg to retry. The low leg gets at most one retry.
-        sample(low)
+        # one interleaved base pass, then resample where the noise is.
+        # HIGH leg first: it is the cheapest window (measured ~45 s
+        # subprocess quiet), it completes even under bursts (r5: the
+        # 8-core leg finished inside the burst that killed the 2-core
+        # one), and its wall calibrates what the low leg SHOULD cost
+        # (~wall_high × high/low) so a doomed low window is skipped
+        # instead of burning 60-75 s producing nothing (r5: exactly
+        # that spend left wall_low null AND starved 55 queries).
         sample(high)
+
+        def low_cost() -> float:
+            # expected low-leg subprocess cost: scaled high wall (the
+            # job is compute-bound, near-linear in 1/cores) + session
+            # startup/warmup; generic fallback when high leg is unknown
+            if walls[high] < float("inf"):
+                return walls[high] * (high / low) * 1.25 + 35.0
+            return 100.0
+
+        if remaining() > low_cost():
+            sample(low)
         # n>=2 per leg BEFORE the eff-driven retries (VERDICT r4 #4: a
         # 1+1-sample efficiency is one burst away from meaningless —
         # min-over-separated-windows needs windows). Retry windows skip
@@ -429,8 +445,10 @@ def main() -> None:
         # a loaded-window high sample costs ~70-90s worst case (adaptive
         # subprocess timeout bounds it); keep retrying into fresh time
         # windows while there is budget — sustained co-tenant load is
-        # exactly what min-over-separated-windows defends against
-        while eff() < 0.85 and samples[high] < 6 and remaining() > (
+        # exactly what min-over-separated-windows defends against.
+        # (eff()==0 with wall_low missing means the LOW leg needs the
+        # budget, not the high one — the n>=2 loop above handles it.)
+        while walls[low] < float("inf") and eff() < 0.85 and samples[high] < 6 and remaining() > (
             95 if samples[high] < 3 else 75
         ):
             sample(high)
@@ -608,14 +626,30 @@ def main() -> None:
         # 83.9 s at load 10, which starved 53 queries into SKIP). Once
         # the heavy segment has burned its budget, the REST of the heavy
         # list defers behind the cheap tail — a burst then costs a few
-        # deferred heavy samples, never the whole query map.
-        heavy_cap = 130.0
+        # deferred heavy samples, never the whole query map. The cap
+        # scales with what the query phase ACTUALLY has left (upstream
+        # burst spends can eat into the reserve): a flat 130 s out of a
+        # 170 s phase left 55 queries SKIPped in an r5 run.
+        heavy_cap = min(130.0, 0.45 * max(raw_remaining(), 0.0))
         heavy_spent = 0.0
         deferred: list[str] = []
+        prior = prior_query_mins()
+
+        def skip_floor(name: str) -> float:
+            # a flat 15 s floor SKIPped the whole 1-3 s cheap tail when
+            # a burst left the phase only seconds of budget (r5 run);
+            # gate each query on ITS expected cost instead. Prior-round
+            # numbers may themselves be burst-inflated, which only makes
+            # the floor conservative.
+            p = prior.get(name)
+            if isinstance(p, (int, float)):
+                return max(6.0, 1.5 * float(p) + 4)
+            return 15.0
+
         for name in [n for n in heavy if n in qfns]:
             if name in queries:  # already errored
                 continue
-            if raw_remaining() < 15:
+            if raw_remaining() < skip_floor(name):
                 queries[name] = "SKIP"  # time budget
                 continue
             if heavy_spent > heavy_cap:
@@ -627,7 +661,7 @@ def main() -> None:
         for name in [n for n in qfns if n not in heavy] + deferred:
             if name in queries:  # already errored
                 continue
-            if raw_remaining() < 15:
+            if raw_remaining() < skip_floor(name):
                 queries[name] = "SKIP"  # time budget
                 continue
             run_one(name)
@@ -637,7 +671,6 @@ def main() -> None:
         # becomes an unexplained 4-14x "regression" in the artifact.
         # Guarantee those n>=2 FIRST, most-inflated first, before the
         # cheapest-first passes spend the budget on the cheap tail.
-        prior = prior_query_mins()
         suspects = sorted(
             (
                 n
