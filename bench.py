@@ -102,7 +102,10 @@ def build_leg(cores: int, path: str, warmup: bool = True,
 
     def once(srcs) -> tuple[float, int]:
         t0 = time.time()
-        merged = sketch_aggregate_direct(spark, srcs, ["source"], SPECS, fanout=32)
+        # fanout="auto": 130 bench partials → single-level merge (the
+        # salted tree level cost ~2 s of a 7 s build and buys nothing
+        # below ~256 partials; at cluster scale auto picks a sqrt tree)
+        merged = sketch_aggregate_direct(spark, srcs, ["source"], SPECS, fanout="auto")
         rows = merged.select("sketch", "n_updates").collect()
         return time.time() - t0, sum(r.n_updates for r in rows if r.sketch == "hll")
 

@@ -460,6 +460,46 @@ def build_partials(
     return narrow.mapInArrow(fn, out_schema)
 
 
+def _resolve_split_files(source: str | list[str]) -> list[str]:
+    """Driver-side split list for the direct feed: a parquet file, a
+    directory of part files, or an explicit manifest (sorted so
+    ``part_id`` = index is stable across reruns and cluster sizes)."""
+    import glob as _glob
+
+    if isinstance(source, str):
+        if os.path.isfile(source):
+            files = [source]
+        else:
+            files = sorted(_glob.glob(os.path.join(source, "*.parquet")))
+        if not files:
+            raise ValueError(f"no parquet files under {source!r}")
+    else:
+        files = sorted(source)
+        if not files:
+            raise ValueError("empty file list")
+    return files
+
+
+def auto_fanout(n_parts: int, threshold: int = 256) -> int | None:
+    """Resolve ``fanout="auto"`` from the stage-1 partial count.
+
+    The salted intermediate merge level exists to bound reducer fan-in
+    (one task would otherwise hold ``n_parts`` × state-size bytes), but
+    it costs an extra shuffle plus an extra ``applyInPandas`` pass over
+    every partial state row — measured 7.1 s vs 5.1 s for the
+    130-partial bench build at an 8-core cap, i.e. ~30% of the whole
+    job, when the tree buys nothing. Below ``threshold`` partials a
+    single reducer merges at most ``threshold`` kilobyte-scale states
+    (≤ ~100 MB even for the widest CMS defaults) and the tree is
+    skipped; above it, ``isqrt(n_parts)`` balances the two levels at
+    ~sqrt(n) states merged per task each."""
+    if n_parts <= threshold:
+        return None
+    import math
+
+    return max(2, math.isqrt(n_parts))
+
+
 def build_partials_direct(
     spark,
     source: str | list[str],
@@ -502,19 +542,7 @@ def build_partials_direct(
     integer corpora (the north-rule input shape) are the target.
     ``batch_rows`` bounds per-task memory: a task never materializes
     more than one record batch of its file at a time."""
-    import glob as _glob
-
-    if isinstance(source, str):
-        if os.path.isfile(source):
-            files = [source]
-        else:
-            files = sorted(_glob.glob(os.path.join(source, "*.parquet")))
-        if not files:
-            raise ValueError(f"no parquet files under {source!r}")
-    else:
-        files = sorted(source)
-        if not files:
-            raise ValueError("empty file list")
+    files = _resolve_split_files(source)
     if not specs:
         raise ValueError("need at least one SketchSpec")
     names = [s.name for s in specs]
@@ -585,7 +613,7 @@ def sketch_aggregate_direct(
     source: str | list[str],
     group_cols: list[str],
     specs: list[SketchSpec],
-    fanout: int | None = 32,
+    fanout: int | None | str = 32,
     skip_parts: frozenset[int] | None = None,
     tasks: int | None = None,
 ) -> DataFrame:
@@ -595,10 +623,16 @@ def sketch_aggregate_direct(
     regardless of how the two feeds split the input (idempotent /
     summed / OR-ed updates — tested); order-sensitive kernels
     (t-digest, KLL, reservoir, lossy) agree within their published
-    bounds, exactly as any repartition of the default feed does."""
+    bounds, exactly as any repartition of the default feed does.
+
+    ``fanout="auto"`` resolves via :func:`auto_fanout` from the split
+    count — free here, the file manifest is already driver-side."""
+    files = _resolve_split_files(source)
+    if fanout == "auto":
+        fanout = auto_fanout(len(files))
     return merge_partials(
         build_partials_direct(
-            spark, source, group_cols, specs, skip_parts=skip_parts, tasks=tasks
+            spark, files, group_cols, specs, skip_parts=skip_parts, tasks=tasks
         ),
         group_cols,
         fanout,
@@ -655,6 +689,12 @@ def merge_partials(
     fan-in), then across buckets. Associativity/commutativity of every
     kernel merge makes the tree shape invisible in the result.
     """
+    if isinstance(fanout, str):
+        raise ValueError(
+            "merge_partials needs an int fanout or None; 'auto' is "
+            "resolved by sketch_aggregate/sketch_aggregate_direct, "
+            "which know the partial count"
+        )
     key = group_cols + ["sketch"]
     schema = merged_schema(partials, group_cols)
     merge_fn = _make_merge_fn(group_cols)
@@ -680,10 +720,14 @@ def sketch_aggregate(
     df: DataFrame,
     group_cols: list[str],
     specs: list[SketchSpec],
-    fanout: int | None = 32,
+    fanout: int | None | str = 32,
     pre_agg: bool = False,
 ) -> DataFrame:
     """Build + merge in one call: one row per (group, sketch).
+
+    ``fanout="auto"`` resolves via :func:`auto_fanout` from the input
+    partition count (``df.rdd.getNumPartitions()`` — plan translation
+    only, no job).
 
     ``pre_agg=True`` routes the count-aware token sketches (hll / cms /
     bloom / ams) through a JVM-side global pre-aggregation:
@@ -709,6 +753,8 @@ def sketch_aggregate(
     path's, which the test suite asserts. Null ARRAY ELEMENTS are
     dropped by both paths (explode-then-filter here, an explicit
     drop_null in the raw stage-1 batch path)."""
+    if fanout == "auto":
+        fanout = auto_fanout(df.rdd.getNumPartitions())
     if not pre_agg:
         return merge_partials(build_partials(df, group_cols, specs), group_cols, fanout)
     hashed_df, rspecs = _resolve_specs(df, specs)

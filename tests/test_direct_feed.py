@@ -114,3 +114,42 @@ def test_single_file_source(spark, seq_path):
     assert set(one) == set(ref)
     for k in one:
         assert one[k][1] == ref[k][1]
+
+
+def test_auto_fanout_resolution():
+    from sketchlib.agg import auto_fanout
+
+    # below the threshold a single reducer handles every partial
+    assert auto_fanout(1) is None
+    assert auto_fanout(130) is None
+    assert auto_fanout(256) is None
+    # above it: sqrt(n) balances both tree levels
+    assert auto_fanout(257) == 16
+    assert auto_fanout(1 << 20) == 1 << 10
+    assert auto_fanout(100_000) == 316
+
+
+def test_auto_fanout_end_to_end(spark, seq_path):
+    """fanout='auto' (few files -> single-level merge) gives states
+    byte-identical to the explicit tree for shape-invariant kernels."""
+    auto = _states(
+        sketch_aggregate_direct(spark, seq_path, ["source"], SPECS, fanout="auto").collect()
+    )
+    tree = _states(
+        sketch_aggregate_direct(spark, seq_path, ["source"], SPECS, fanout=4).collect()
+    )
+    assert set(auto) == set(tree)
+    for k in auto:
+        assert auto[k][1] == tree[k][1], k
+        if k[1] != "tdigest":  # tree shape is invisible to max/sum/OR merges
+            assert auto[k][0] == tree[k][0], k
+
+
+def test_merge_partials_rejects_unresolved_auto(spark, seq_path):
+    import pytest as _pytest
+
+    from sketchlib.agg import build_partials_direct, merge_partials
+
+    partials = build_partials_direct(spark, seq_path, ["source"], SPECS[:1])
+    with _pytest.raises(ValueError, match="auto"):
+        merge_partials(partials, ["source"], fanout="auto")
