@@ -298,7 +298,11 @@ def _read_store(
     return df.drop(_BATCH_COL, _BUCKET_COL)
 
 
-def _enable_batch_aqe(spark: SparkSession, shuffle_partitions: int | None = None) -> None:
+def _enable_batch_aqe(
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
+    adaptive: bool | None = None,
+) -> None:
     """Structured Streaming disables AQE on the query's cloned session
     (it is unsupported for *streaming* plans), but the DataFrame actions
     a foreachBatch body runs are plain BATCH queries — re-enabling AQE
@@ -314,8 +318,21 @@ def _enable_batch_aqe(spark: SparkSession, shuffle_partitions: int | None = None
     batch body that persists its intermediates — the near-dup writer —
     pays full session width per cached shuffle regardless of data size.
     Size the override to the TRIGGER volume, not the cluster (measured
-    at sf0.1: 32 → 8 cut the candidate phase ~20%)."""
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    at sf0.1: 32 → 8 cut the candidate phase ~20%).
+
+    ``adaptive=None`` (auto) DISABLES AQE when the caller set an
+    explicit ``shuffle_partitions``: an explicitly-sized body leaves
+    AQE nothing to coalesce (its shuffles are already trigger-sized,
+    and the persisted ones are uncoalescible regardless), so all AQE
+    contributes is one extra adaptive re-plan job round-trip per
+    shuffle stage — measured 17.8–18.1 s → 14.3–16.1 s warm on the
+    4-batch near-dup query at sf0.1 (identical 256 output pairs).
+    Large deployments that leave ``shuffle_partitions=None`` keep AQE
+    (runtime coalescing + broadcast conversion are worth the per-stage
+    round-trips when batch volumes actually vary); ``adaptive=True`` /
+    ``False`` forces either choice."""
+    adaptive_on = adaptive if adaptive is not None else not shuffle_partitions
+    spark.conf.set("spark.sql.adaptive.enabled", str(adaptive_on).lower())
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     # coalesce to the advisory partition SIZE, not the cluster's
     # default parallelism: a micro-batch's internal shuffles are KB-to-
@@ -362,6 +379,7 @@ def neardup_stream_writer(
     bucket_cap: int | None = 4096,
     n_buckets: int = 16,
     batch_shuffle_partitions: int | None = None,
+    batch_adaptive: bool | None = None,
 ):
     """Incremental near-dup detection: every micro-batch's docs are
     MinHash-banded and matched against all previously seen docs via the
@@ -396,7 +414,11 @@ def neardup_stream_writer(
       width to the TRIGGER volume instead of the session default: the
       body persists its intermediates and AQE cannot coalesce cached
       shuffles, so an oversized session width costs pure scheduling per
-      batch. None keeps the session setting.
+      batch. None keeps the session setting. Setting it also disables
+      AQE for the bodies by default (``batch_adaptive=None`` auto —
+      see :func:`_enable_batch_aqe`): an explicitly-sized body gains
+      nothing from runtime coalescing and pays one adaptive re-plan
+      job per shuffle stage (~3.5 s of the 4-batch query at sf0.1).
 
     Re-ingest guard: a ``doc_id`` that already exists in the store is
     dropped from the batch (its pairs were emitted when first seen), so
@@ -444,7 +466,7 @@ def neardup_stream_writer(
             return
         _mark("isEmpty")
         spark = batch_df.sparkSession
-        _enable_batch_aqe(spark, batch_shuffle_partitions)
+        _enable_batch_aqe(spark, batch_shuffle_partitions, batch_adaptive)
         bid = int(batch_id)
         shingles = shingle_hash_frame(
             batch_df, id_col, words_col, shingle_n
@@ -515,6 +537,39 @@ def neardup_stream_writer(
         else:
             hist_f = hist
             brows_c = brows_new
+        # the three STORE writes (keys/counts/shingles) depend only on
+        # brows_new / delta / shingles_new — not on candidates — so they
+        # start NOW and run concurrently with the whole candidate +
+        # verify phase below (previously all four writes ran after it,
+        # making per-batch latency candidates + writes instead of
+        # max(candidates, writes); measured ~0.7 s/batch at sf0.1).
+        # Concurrent first-materialization of the shared persisted
+        # frames (brows_new, shingles_new, delta) is safe: Spark's
+        # BlockManager computes a cached block once and later readers
+        # block on / reuse it. InheritableThread (not a bare
+        # ThreadPoolExecutor) so each write inherits the streaming
+        # query's job group / local properties — otherwise query.stop()
+        # cannot cancel in-flight batch writes (ADVICE r3). A mid-batch
+        # failure is replay-safe regardless of which writes finished:
+        # the replay statically overwrites exactly these directories.
+        from pyspark import InheritableThread
+
+        errs: list[BaseException] = []
+
+        def _run(fn):
+            try:
+                fn()
+            except BaseException as e:  # surfaces after all joins
+                errs.append(e)
+
+        store_jobs = [
+            lambda: _write_bucketed(brows_new, keys_dir, bid, key_bucket),
+            lambda: _write_bucketed(delta, cnt_dir, bid, key_bucket),
+            lambda: _write_bucketed(shingles_new, sh_dir, bid, doc_bucket),
+        ]
+        threads = [InheritableThread(target=_run, args=(j,)) for j in store_jobs]
+        for t in threads:
+            t.start()
         x = brows_c.alias("x")
         y = hist_f.unionByName(brows_c).alias("y")
         cands = (
@@ -564,41 +619,11 @@ def neardup_stream_writer(
         else:
             hist_sh = spark.createDataFrame([], shingles.schema)
         pairs = jaccard_verify(cands, hist_sh.unionByName(shingles_new), threshold)
-        # static overwrites of this batch's own partition dirs —
-        # replay-safe without the dynamic-overwrite listing (see
-        # _write_bucketed). The four sinks are independent directories
-        # over already-persisted inputs, so the write jobs run
-        # CONCURRENTLY (Spark supports multi-threaded job submission);
-        # sequential writes made per-batch latency the sum of four job
-        # round-trips. A mid-batch failure is unchanged: the replay
-        # rewrites exactly these directories. InheritableThread (not a
-        # bare ThreadPoolExecutor) so each write inherits the streaming
-        # query's job group / local properties — otherwise query.stop()
-        # cannot cancel in-flight batch writes (ADVICE r3).
-        from pyspark import InheritableThread
-
-        def _w_pairs():
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
-            )
-
-        jobs = [
-            _w_pairs,
-            lambda: _write_bucketed(brows_new, keys_dir, bid, key_bucket),
-            lambda: _write_bucketed(delta, cnt_dir, bid, key_bucket),
-            lambda: _write_bucketed(shingles_new, sh_dir, bid, doc_bucket),
-        ]
-        errs: list[BaseException] = []
-
-        def _run(fn):
-            try:
-                fn()
-            except BaseException as e:  # surfaces after all joins
-                errs.append(e)
-
-        threads = [InheritableThread(target=_run, args=(j,)) for j in jobs]
-        for t in threads:
-            t.start()
+        # the pairs write (the only candidate-dependent sink) runs on
+        # the main thread while the three store writes finish behind it
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
+        )
         for t in threads:
             t.join()
         _mark("writes")
