@@ -751,14 +751,20 @@ def main() -> None:
     reserve = 0.0
     if scaling_record is not None:
         extra = 0
-        while (
-            0 < eff() < 0.85
-            and extra < 8
-            and raw_remaining() > window_cost(high) + window_cost(low) + 20
-        ):
-            sample(high)
-            sample(low)
-            extra += 2
+        while 0 < eff() < 0.85 and extra < 8:
+            # pairs keep the top-up symmetric, but when only ONE more
+            # window fits the budget, spend it on the high leg — the
+            # cheaper window and the one a burst inflates hardest
+            if raw_remaining() > window_cost(high) + window_cost(low) + 20:
+                sample(high)
+                sample(low)
+                extra += 2
+            elif raw_remaining() > window_cost(high) + 20:
+                sample(high)
+                extra += 1
+                break  # asymmetric spend: one recovery window only
+            else:
+                break
         result["scaling"] = scaling_record()
     result["queries"] = queries
     if query_stats:
