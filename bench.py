@@ -750,7 +750,15 @@ def main() -> None:
     # reading on the same host was ~0.87.
     reserve = 0.0
     if scaling_record is not None:
-        scaling_topup(eff, sample, window_cost, raw_remaining, high, low)
+        scaling_topup(
+            eff,
+            sample,
+            window_cost,
+            raw_remaining,
+            high,
+            low,
+            missing=lambda: [c for c in (high, low) if walls[c] == float("inf")],
+        )
         result["scaling"] = scaling_record()
     result["queries"] = queries
     if query_stats:
@@ -773,7 +781,9 @@ def main() -> None:
     print(compact_line(result, queries, bool(detail_path)))
 
 
-def scaling_topup(eff, sample, window_cost, raw_remaining, high: int, low: int) -> int:
+def scaling_topup(
+    eff, sample, window_cost, raw_remaining, high: int, low: int, missing=None
+) -> int:
     """Post-query scaling recovery: while the efficiency reading sits
     under 0.85, spend leftover budget on extra SEPARATED windows.
     min-over-windows is monotone per leg (the job is deterministic; a
@@ -784,8 +794,26 @@ def scaling_topup(eff, sample, window_cost, raw_remaining, high: int, low: int) 
     the one a burst inflates hardest) and the top-up stops. Returns
     the number of extra windows taken. Unit-tested standalone
     (tests/test_bench_line.py) — an earlier inline version read a
-    shadowed variable and would have crashed the artifact emitter."""
+    shadowed variable and would have crashed the artifact emitter.
+
+    ``missing`` (callable → list of legs with NO completed window yet)
+    is tried first: a leg nulled by in-phase burst timeouts is the
+    worst artifact outcome (efficiency=null), and one cheap window
+    fills it — eff()==0.0 while a wall is missing, so the main loop
+    alone would never spend on it. And because an asymmetric final
+    window can land a superlinear reading the main scaling loop would
+    have corrected, any eff()>1.05 is re-balanced with low-leg windows
+    before returning (the low wall is the one an earlier burst must
+    have inflated for the ratio to exceed 1)."""
     extra = 0
+    for c in list(missing() if missing is not None else []):
+        for _attempt in range(2):
+            if raw_remaining() <= window_cost(c) + 20:
+                break
+            sample(c)
+            extra += 1
+            if c not in missing():
+                break
     while 0 < eff() < 0.85 and extra < 8:
         if raw_remaining() > window_cost(high) + window_cost(low) + 20:
             sample(high)
@@ -797,7 +825,11 @@ def scaling_topup(eff, sample, window_cost, raw_remaining, high: int, low: int) 
             break  # asymmetric spend: one recovery window only
         else:
             break
-    return extra
+    rebal = 0
+    while eff() > 1.05 and rebal < 2 and raw_remaining() > window_cost(low) + 20:
+        sample(low)
+        rebal += 1
+    return extra + rebal
 
 
 def compact_line(result: dict, queries: dict, have_detail: bool, limit: int = 1900) -> str:

@@ -282,7 +282,16 @@ def _read_store(
     columns) so planning never opens a parquet footer — combined with
     the ``bucket IN (...)`` partition filter, files under untouched
     buckets are NEVER opened (driver-verifiable: a corrupt file in a
-    pruned bucket does not fail the read — tested)."""
+    pruned bucket does not fail the read — tested).
+
+    The batch generations to read are enumerated EXPLICITLY (one
+    driver-side directory listing, one Hadoop FS call) instead of
+    handing Spark the store root with a ``batch != exclude_batch``
+    filter: the root listing would also walk ``batch_id=exclude_batch``
+    — the very directory a concurrent store-write thread (or a replay
+    of this batch) is overwriting — and a file vanishing mid-listing
+    fails the read. With explicit paths the in-flight generation is
+    never touched."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     full = StructType(
@@ -292,7 +301,28 @@ def _read_store(
             StructField(_BUCKET_COL, IntegerType(), True),
         ]
     )
-    df = spark.read.schema(full).parquet(path).filter(F.col(_BATCH_COL) != exclude_batch)
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{_BATCH_COL}="
+    batch_dirs = [
+        str(st.getPath().toString())  # keep the scheme (s3a://, hdfs://)
+        for st in fs.listStatus(jroot)
+        if st.isDirectory()
+        and st.getPath().getName().startswith(prefix)
+        and st.getPath().getName() != f"{prefix}{int(exclude_batch)}"
+    ]
+    if not batch_dirs:
+        empty = spark.createDataFrame([], StructType(list(data_schema.fields)))
+        return empty
+    df = (
+        spark.read.option("basePath", path)
+        .schema(full)
+        .parquet(*sorted(batch_dirs))
+        # belt-and-braces: the partition filter is redundant with the
+        # explicit path list but keeps the contract visible in the plan
+        .filter(F.col(_BATCH_COL) != exclude_batch)
+    )
     if buckets is not None:
         df = df.filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
     return df.drop(_BATCH_COL, _BUCKET_COL)
@@ -570,62 +600,68 @@ def neardup_stream_writer(
         threads = [InheritableThread(target=_run, args=(j,)) for j in store_jobs]
         for t in threads:
             t.start()
-        x = brows_c.alias("x")
-        y = hist_f.unionByName(brows_c).alias("y")
-        cands = (
-            x.join(
-                y,
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.key") == F.col("y.key"))
-                & (F.col("x.doc_id") != F.col("y.doc_id")),
-            )
-            .select(
-                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
-                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .persist()
-        )
-        # exact verification needs shingles only for the candidates'
-        # historical members: prune the shingle store to their buckets,
-        # then semi-join down to exactly those docs
-        persisted = [
-            df
-            for df in (shingles, brows, brows_new, shingles_new, cands, hist, seen, delta)
-            if df is not None
-        ]
-        if has_history:  # keys/ and shingles/ are written together
-            # explode both endpoints in ONE pass + one distinct — the
-            # previous union-of-projections shape cost two extra stages
-            # per batch (measured in the cand_collect phase)
-            cand_ids = (
-                cands.select(
-                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        try:
+            x = brows_c.alias("x")
+            y = hist_f.unionByName(brows_c).alias("y")
+            cands = (
+                x.join(
+                    y,
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.key") == F.col("y.key"))
+                    & (F.col("x.doc_id") != F.col("y.doc_id")),
+                )
+                .select(
+                    F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                    F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
                 )
                 .distinct()
                 .persist()
             )
-            persisted.append(cand_ids)
-            cand_buckets = [
-                r[0]
-                for r in cand_ids.select(doc_bucket.cast("int").alias("b"))
-                .distinct()
-                .collect()
+            # exact verification needs shingles only for the candidates'
+            # historical members: prune the shingle store to their buckets,
+            # then semi-join down to exactly those docs
+            persisted = [
+                df
+                for df in (shingles, brows, brows_new, shingles_new, cands, hist, seen, delta)
+                if df is not None
             ]
-            _mark("cand_collect")
-            hist_sh = _read_store(
-                spark, sh_dir, shingles.schema, bid, cand_buckets
-            ).join(cand_ids, "doc_id", "left_semi")
-        else:
-            hist_sh = spark.createDataFrame([], shingles.schema)
-        pairs = jaccard_verify(cands, hist_sh.unionByName(shingles_new), threshold)
-        # the pairs write (the only candidate-dependent sink) runs on
-        # the main thread while the three store writes finish behind it
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
-        )
-        for t in threads:
-            t.join()
+            if has_history:  # keys/ and shingles/ are written together
+                # explode both endpoints in ONE pass + one distinct — the
+                # previous union-of-projections shape cost two extra stages
+                # per batch (measured in the cand_collect phase)
+                cand_ids = (
+                    cands.select(
+                        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                    )
+                    .distinct()
+                    .persist()
+                )
+                persisted.append(cand_ids)
+                cand_buckets = [
+                    r[0]
+                    for r in cand_ids.select(doc_bucket.cast("int").alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+                _mark("cand_collect")
+                hist_sh = _read_store(
+                    spark, sh_dir, shingles.schema, bid, cand_buckets
+                ).join(cand_ids, "doc_id", "left_semi")
+            else:
+                hist_sh = spark.createDataFrame([], shingles.schema)
+            pairs = jaccard_verify(cands, hist_sh.unionByName(shingles_new), threshold)
+            # the pairs write (the only candidate-dependent sink) runs on
+            # the main thread while the three store writes finish behind it
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"{_BATCH_COL}={bid}")
+            )
+        finally:
+            # join the store writers on EVERY exit: an exception in the
+            # candidate phase or pairs write must not orphan in-flight
+            # writes (a replay's overwrite racing an orphaned writer on
+            # the same batch directory could corrupt the store)
+            for t in threads:
+                t.join()
         _mark("writes")
         if errs:
             raise errs[0]

@@ -135,7 +135,10 @@ def test_scaling_topup_single_high_window_when_budget_tight():
 def test_scaling_topup_noop_when_eff_met_or_unknown():
     from bench import scaling_topup
 
-    for e in (0.0, 0.86, 1.2):
+    # 0.0 (a wall missing, no `missing` callable passed) and 0.86 (bar
+    # met) are no-ops; eff>1.05 is NOT — it triggers the bounded
+    # low-leg rebalance covered by its own test below
+    for e in (0.0, 0.86):
         taken = []
         scaling_topup(
             eff=lambda: e,
@@ -146,3 +149,64 @@ def test_scaling_topup_noop_when_eff_met_or_unknown():
             low=2,
         )
         assert taken == []
+
+
+def test_scaling_topup_fills_missing_leg_first():
+    from bench import scaling_topup
+
+    walls = {2: float("inf"), 8: 7.0}
+    taken = []
+
+    def sample(c):
+        taken.append(c)
+        walls[c] = min(walls[c], 20.0 if c == 2 else 7.0)
+
+    extra = scaling_topup(
+        eff=lambda: 0.0 if walls[2] == float("inf") else (walls[2] / walls[8]) / 4,
+        sample=sample,
+        window_cost=lambda c: 40.0,
+        raw_remaining=lambda: 500.0,
+        high=8,
+        low=2,
+        missing=lambda: [c for c in (8, 2) if walls[c] == float("inf")],
+    )
+    assert 2 in taken  # the nulled low leg got its window
+    assert walls[2] == 20.0 and extra == len(taken)
+
+
+def test_scaling_topup_rebalances_superlinear_reading():
+    from bench import scaling_topup
+
+    walls = {2: 40.0, 8: 8.6}  # eff 1.163: low leg burst-inflated earlier
+    taken = []
+
+    def sample(c):
+        taken.append(c)
+        if c == 2:
+            walls[2] = 30.0  # quieter window pulls the low wall down
+
+    scaling_topup(
+        eff=lambda: (walls[2] / walls[8]) / 4,
+        sample=sample,
+        window_cost=lambda c: 40.0,
+        raw_remaining=lambda: 500.0,
+        high=8,
+        low=2,
+    )
+    assert taken and set(taken) == {2}  # only low-leg re-balance windows
+    assert (walls[2] / walls[8]) / 4 <= 1.05
+
+
+def test_scaling_topup_rebalance_bounded_when_no_quieter_window():
+    from bench import scaling_topup
+
+    taken = []
+    extra = scaling_topup(
+        eff=lambda: 1.2,  # never improves: host genuinely noisy
+        sample=lambda c: taken.append(c),
+        window_cost=lambda c: 40.0,
+        raw_remaining=lambda: 1e9,
+        high=8,
+        low=2,
+    )
+    assert extra == len(taken) == 2  # bounded spend, not a loop
