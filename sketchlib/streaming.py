@@ -304,6 +304,14 @@ def _read_store(
     jvm = spark._jvm
     jroot = jvm.org.apache.hadoop.fs.Path(path)
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    # a missing root IS an empty history, not an error: the caller's
+    # has_history probe checks only the FIRST of the sibling stores
+    # (keys/), so a crash between batch 0's store writes can leave
+    # keys/ present while this store's root does not exist yet — the
+    # replay must see empty history and rebuild it, not wedge the
+    # stream on a FileNotFoundException forever
+    if not fs.exists(jroot):
+        return spark.createDataFrame([], StructType(list(data_schema.fields)))
     prefix = f"{_BATCH_COL}="
     batch_dirs = [
         str(st.getPath().toString())  # keep the scheme (s3a://, hdfs://)

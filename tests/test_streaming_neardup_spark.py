@@ -138,6 +138,26 @@ def test_bucket_pruning_never_opens_untouched_buckets(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_read_store_missing_root_is_empty_history(spark):
+    """Crash-recovery: the caller's has_history probe checks only the
+    FIRST sibling store (keys/), so a kill between batch 0's store
+    writes can leave keys/ present while cnt/ (or shingles/) has no
+    root yet. The replay's read of the missing store must see EMPTY
+    history — schema-correct, zero rows — not wedge the stream on a
+    FileNotFoundException."""
+    from sketchlib.streaming import _read_store
+
+    schema = spark.createDataFrame([], "doc_id string, band int, key long").schema
+    missing = os.path.join(
+        tempfile.mkdtemp(prefix="sk_neardup_missing_"), "store", "cnt"
+    )
+    df = _read_store(spark, missing, schema, exclude_batch=0)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "band", "key"]
+    # bucket pruning on the empty result is a no-op, not an error
+    assert _read_store(spark, missing, schema, exclude_batch=0, buckets=[1]).count() == 0
+
+
 def test_reingest_same_docs_no_duplicate_pairs(spark):
     """Streaming the same corpus twice (doc_ids repeat across batches)
     must not duplicate pairs or store rows: the re-ingest guard drops
