@@ -850,6 +850,52 @@ def q_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spacesaving_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving / Misra–Gries heavy hitters (Metwally ICDT'05;
+    mergeable per Agarwal PODS'12), distributed build + salted merge
+    tree — the counter-based third top-k family next to LossyCounter
+    (windowed) and TopK (CMS-backed); extra beyond the reference's
+    src/topk/. Output rows are the EXACT phi-heavy hitters with
+    booleans that flip if the sketch violates its guarantees: query is
+    a superset of the true heavy hitters, each reported f undercounts
+    its true count by at most the sketch's err ledger, and
+    err <= n/(m+1)."""
+    from sketchlib.topk import SpaceSaving
+
+    m, inv_phi = 999, 50  # err <= n/1000, phi = 0.02
+    docs = _words(_t(spark, sf_dir, "documents"))
+    merged = sketch_aggregate(
+        docs, [], [SketchSpec("ss", "spacesaving", "words", {"m": m})], fanout=8
+    )
+    ss = SpaceSaving.from_bytes(bytes(merged.select("state").collect()[0][0]))
+    items, f = ss.query(1.0 / inv_phi)
+    n, err = int(ss.n), int(ss.err)
+    bound_ok = err * (m + 1) <= n
+    fdf = spark.createDataFrame(
+        list(zip(items.tolist(), f.astype("int64").tolist())) or [(None, None)],
+        "item long, f long",
+    ).filter(F.col("item").isNotNull())
+    exact = (
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * inv_phi >= F.lit(n))  # exact integer arithmetic
+    )
+    joined = exact.withColumn("h", F.xxhash64("word")).join(
+        F.broadcast(fdf), F.col("h") == F.col("item"), "left"
+    )
+    return joined.select(
+        "word",
+        "cnt",
+        (F.col("item").isNotNull() & F.lit(bound_ok)).alias("in_ss"),
+        (
+            F.col("item").isNotNull()
+            & (F.col("f") <= F.col("cnt"))
+            & (F.col("f") + F.lit(err) >= F.col("cnt"))
+        ).alias("f_ok"),
+    )
+
+
 def q_topk_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS-heap TopK sketch (cmsheap.rs:117-219): the exact top-5 words
     must all appear in the sketch's top-16, with estimates inside the
@@ -2726,6 +2772,7 @@ _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "srp_neardup_recall": q_srp_neardup_recall,
     "lossy_heavy_hitters": q_lossy_heavy_hitters,
+    "spacesaving_heavy_hitters": q_spacesaving_heavy_hitters,
     "topk_sketch_words": q_topk_sketch_words,
     "countsketch_f2": q_countsketch_f2,
     "topk_resolved_strings": q_topk_resolved_strings,
@@ -2778,6 +2825,7 @@ _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # driver's independent record.)
 _VERIFIED_ROUND: dict[str, int] = {
     "direct_feed_build": 0,  # new in r5, never inside the window
+    "spacesaving_heavy_hitters": 0,  # new in r5, never inside the window
     "kmv_source_overlap": 0,  # registered r4, never inside the window
     # last driver hash-match: round 2
     "checkpoint_resume": 2,
@@ -3196,6 +3244,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT SUM(cnt) AS n FROM wc)
             SELECT word, cnt, TRUE AS in_lossy, TRUE AS f_ok
+            FROM wc, tot
+            WHERE cnt * 50 >= n
+        """,
+        "spacesaving_heavy_hitters": """
+            WITH wc AS (
+                SELECT w AS word, COUNT(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w
+            ),
+            tot AS (SELECT SUM(cnt) AS n FROM wc)
+            SELECT word, cnt, TRUE AS in_ss, TRUE AS f_ok
             FROM wc, tot
             WHERE cnt * 50 >= n
         """,

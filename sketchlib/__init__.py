@@ -21,7 +21,7 @@ from .kll import KLL
 from .kmv import KMV
 from .reservoir import Reservoir
 from .tdigest import TDigest
-from .topk import LossyCounter, TopK
+from .topk import LossyCounter, SpaceSaving, TopK
 
 __all__ = [
     "HLL",
@@ -32,6 +32,7 @@ __all__ = [
     "KLL",
     "KMV",
     "LossyCounter",
+    "SpaceSaving",
     "TopK",
     "Reservoir",
     "CuckooFilter",

@@ -62,7 +62,7 @@ from .kll import KLL
 from .kmv import KMV
 from .reservoir import Reservoir
 from .tdigest import TDigest
-from .topk import LossyCounter, TopK
+from .topk import LossyCounter, SpaceSaving, TopK
 
 KERNELS = {
     "ams": AMSCountSketch,
@@ -74,6 +74,7 @@ KERNELS = {
     "tdigest": TDigest,
     "kll": KLL,
     "lossy": LossyCounter,
+    "spacesaving": SpaceSaving,
     "topk": TopK,
     "reservoir": Reservoir,
 }
@@ -82,7 +83,7 @@ _NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
 # consume int64; string inputs are pre-hashed JVM-side (note: for lossy /
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)
-_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams", "kmv")
+_HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "spacesaving", "topk", "ams", "kmv")
 # _PREAGG_KINDS gates count_col VALIDITY: kinds whose update_unique
 # consumes (value, count) rows exactly (counts summed or idempotently
 # ignored). topk qualifies here — its CMS substrate is count-exact —
@@ -90,7 +91,7 @@ _HASHED_KINDS = ("hll", "cms", "bloom", "lossy", "topk", "ams", "kmv")
 # depends on per-partition arrival order, so pre-agg states are only
 # estimate-equivalent, not byte-equal. lossy is windowed by definition
 # and belongs to neither.
-_PREAGG_KINDS = frozenset({"hll", "cms", "bloom", "ams", "topk", "kmv"})
+_PREAGG_KINDS = frozenset({"hll", "cms", "bloom", "ams", "topk", "kmv", "spacesaving"})
 # _PREAGG_AUTO is the stricter set sketch_aggregate(pre_agg=True)
 # auto-routes: final state provably BYTE-IDENTICAL to the raw path
 # (HLL register-max / Bloom OR / KMV bottom-k are idempotent,

@@ -213,8 +213,10 @@ def topk_items_udf():
 
 
 def heavy_hitters_udf(theta: float):
-    """LossyCounter query(theta) → array of items with
-    f >= (theta - eps) * n (lossycounter.rs:258-273)."""
+    """Heavy-hitter readout for LossyCounter states — query(theta) →
+    array of items with f >= (theta - eps) * n (lossycounter.rs:258-273)
+    — and, via the same ``load_state`` dispatch, SpaceSaving states
+    (query(phi): items with f + err >= phi * n)."""
     from pyspark.sql.types import ArrayType
 
     @F.pandas_udf(ArrayType(LongType()))

@@ -15,6 +15,12 @@ Reference semantics (SURVEY.md §2, A8/A9):
   counts plus a bounded candidate set; query re-scores candidates
   against the CMS and returns the k largest by (count, item).
 
+- ``SpaceSaving`` — counter-based heavy hitters (Metwally et al.
+  ICDT 2005) in the batch-mergeable Misra–Gries form of Agarwal et al.
+  PODS 2012. Not in the reference (its ``src/topk/`` stops at the two
+  above); included as the third classical top-k family so users can
+  trade LossyCounter's window semantics for an m-counter memory bound.
+
 The reference versions are single-stream and have NO merge; the
 distributed variants here follow the standard constructions:
 
@@ -180,6 +186,140 @@ class LossyCounter:
         off += 8 * sz
         delta = np.frombuffer(payload, dtype=np.uint64, count=sz, offset=off).copy()
         return cls(params["epsilon"], _state={"items": items, "f": f, "delta": delta, "n": n})
+
+
+class SpaceSaving:
+    """SpaceSaving / Misra–Gries heavy hitters over int64 items, in the
+    batch-mergeable form of Agarwal et al., "Mergeable Summaries" (PODS
+    2012, §3): ``m`` monitored counters; absorbing a batch adds exact
+    (item, count) rows, then one compress subtracts the (m+1)-th largest
+    count ``d`` from every entry and prunes the non-positive ones,
+    accumulating ``d`` into a single scalar error term. This is the
+    counter-based complement to :class:`LossyCounter` (window-based) and
+    :class:`TopK` (CMS-based) — the third classical top-k family the
+    reference's ``src/topk/`` does not cover (extra beyond SURVEY §2;
+    guarantees follow Metwally et al., "Efficient Computation of
+    Frequent and Top-k Elements in Data Streams", ICDT 2005).
+
+    Invariants (checked by tests/test_spacesaving.py):
+
+    - undercount:  ``f(x) <= true(x) <= f(x) + err`` for monitored x,
+      and ``true(x) <= err`` for unmonitored x;
+    - bound:       ``err <= n / (m + 1)`` (each compress removes at
+      least ``d * (m+1)`` stored count, and stored count <= n);
+    - superset:    ``query(phi)`` returns every true phi-heavy hitter;
+    - merge:       absorb + err add + one compress — commutative in
+      bytes (absorb sorts by item), associative in guarantee (PODS'12
+      Thm 1 with the same err ledger), so partition/merge-tree order
+      never changes the answer's validity. Like ``topk``/``lossy`` the
+      state is estimate-equivalent (not byte-equal) across groupings.
+    """
+
+    def __init__(self, m: int = 256, _state: dict | None = None):
+        if int(m) < 1:
+            raise ValueError(f"m ({m}) must be >= 1")
+        self.m = int(m)
+        if _state is not None:
+            self.items = _state["items"]
+            self.f = _state["f"]
+            self.err = int(_state["err"])
+            self.n = int(_state["n"])
+        else:
+            self.items = np.empty(0, dtype=np.int64)
+            self.f = np.empty(0, dtype=np.uint64)
+            self.err = 0
+            self.n = 0
+
+    def params(self) -> dict:
+        return {"m": self.m}
+
+    def is_empty(self) -> bool:
+        return self.n == 0
+
+    def _absorb(self, items: np.ndarray, counts: np.ndarray) -> None:
+        all_items = np.concatenate([self.items, np.asarray(items, dtype=np.int64)])
+        all_f = np.concatenate([self.f, np.asarray(counts).astype(np.uint64)])
+        order = np.argsort(all_items, kind="stable")
+        uniq, start = np.unique(all_items[order], return_index=True)
+        self.items = uniq
+        self.f = np.add.reduceat(all_f[order], start) if uniq.size else all_f[:0]
+
+    def _compress(self) -> None:
+        if self.items.size <= self.m:
+            return
+        # d = (m+1)-th largest stored count; every survivor has f > d,
+        # so at most m survive even with ties at d
+        d = np.partition(self.f, self.f.size - (self.m + 1))[self.f.size - (self.m + 1)]
+        keep = self.f > d
+        self.items = self.items[keep]
+        self.f = self.f[keep] - d
+        self.err += int(d)
+
+    def update(self, values: np.ndarray) -> None:
+        values = np.ascontiguousarray(values, dtype=np.int64)
+        if values.size == 0:
+            return
+        from .hashing import unique_counts
+
+        uniq, counts = unique_counts(values)
+        self._absorb(uniq, counts)
+        self.n += int(values.size)
+        self._compress()
+
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        """Exact fast path for pre-deduplicated (item, count) batches:
+        absorbing multiplicities is byte-identical to one raw batch."""
+        counts = np.asarray(counts)
+        if counts.size == 0:
+            return
+        self._absorb(np.asarray(uniq), counts)
+        self.n += int(counts.astype(np.uint64).sum())
+        self._compress()
+
+    def query(self, phi: float) -> tuple[np.ndarray, np.ndarray]:
+        """Items (with undercounting f) that may be phi-heavy:
+        ``f + err >= ceil(phi * n)`` — a guaranteed superset of the true
+        phi-heavy hitters, each f undercounting by at most ``err``."""
+        bound = max(int(np.ceil(phi * self.n)) - self.err, 0)
+        mask = self.f >= np.uint64(bound)
+        order = np.argsort(self.items[mask])
+        return self.items[mask][order], self.f[mask][order]
+
+    def top(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """The k largest stored (item, f) pairs by (f desc, item asc)."""
+        order = np.lexsort((self.items, ~self.f))
+        sel = order[: int(k)]
+        return self.items[sel], self.f[sel]
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        check_mergeable("spacesaving", self.params(), other.params())
+        self._absorb(other.items, other.f)
+        self.err += other.err
+        self.n += other.n
+        self._compress()
+        return self
+
+    def to_bytes(self) -> bytes:
+        payload = (
+            np.int64(self.n).tobytes()
+            + np.int64(self.err).tobytes()
+            + np.int64(self.items.size).tobytes()
+            + self.items.tobytes()
+            + self.f.tobytes()
+        )
+        return pack("spacesaving", self.params(), payload)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SpaceSaving":
+        kind, params, payload = unpack(data)
+        if kind != "spacesaving":
+            raise ValueError(f"expected spacesaving state, got {kind}")
+        n, err, sz = (int(v) for v in np.frombuffer(payload, dtype=np.int64, count=3))
+        off = 24
+        items = np.frombuffer(payload, dtype=np.int64, count=sz, offset=off).copy()
+        off += 8 * sz
+        f = np.frombuffer(payload, dtype=np.uint64, count=sz, offset=off).copy()
+        return cls(params["m"], _state={"items": items, "f": f, "err": err, "n": n})
 
 
 class TopK:

@@ -52,6 +52,40 @@ def test_lossy_and_topk_heavy_hitters(spark, seq_small):
         assert t_counts[0] <= best_cnt + (np.e / 8192) * n
 
 
+def test_spacesaving_heavy_hitters_distributed(spark, seq_small):
+    # SpaceSaving / Misra–Gries through the same two-stage topology:
+    # superset of the 2% heavy hitters per source, undercount <= err,
+    # err <= n/(m+1) — regardless of partition/merge-tree shape
+    m = 199
+    specs = [SketchSpec("ss", "spacesaving", "tokens", {"m": m})]
+    merged = sketch_aggregate(seq_small, ["source"], specs, fanout=4)
+    rows = {r["source"]: bytes(r["state"]) for r in merged.collect()}
+
+    exact = {
+        (r["source"], r["tok"]): r["cnt"]
+        for r in seq_small.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    totals: dict = {}
+    for (src, _), cnt in exact.items():
+        totals[src] = totals.get(src, 0) + cnt
+    assert set(rows) == set(totals)
+    for src, blob in rows.items():
+        ss = load_state(blob)
+        n = totals[src]
+        assert ss.n == n
+        assert ss.err * (m + 1) <= n
+        assert len(ss.items) <= m
+        items, f = ss.query(0.02)
+        for it, fv in zip(items.tolist(), f.tolist()):
+            ex = exact.get((src, it), 0)
+            assert fv <= ex and ex - fv <= ss.err
+        heavy_exact = {t for (s, t), c in exact.items() if s == src and c >= 0.02 * n}
+        assert heavy_exact <= set(items.tolist())  # superset guarantee
+
+
 def test_rollup_equals_direct(spark, seq_small):
     from sketchlib.agg import rollup_states
     from sketchlib.estimates import hll_count
