@@ -207,7 +207,11 @@ class SpaceSaving:
       and ``true(x) <= err`` for unmonitored x;
     - bound:       ``err <= n / (m + 1)`` (each compress removes at
       least ``d * (m+1)`` stored count, and stored count <= n);
-    - superset:    ``query(phi)`` returns every true phi-heavy hitter;
+    - superset:    ``query(phi)`` returns every true phi-heavy hitter
+      PROVIDED ``phi > 1/(m+1)`` (equivalently whenever
+      ``err < ceil(phi*n)``) — with m counters only items of frequency
+      above n/(m+1) are detectable at all (Misra–Gries lower bound), so
+      size m to at least ``ceil(1/phi)``;
     - merge:       absorb + err add + one compress — commutative in
       bytes (absorb sorts by item), associative in guarantee (PODS'12
       Thm 1 with the same err ledger), so partition/merge-tree order
@@ -278,8 +282,10 @@ class SpaceSaving:
 
     def query(self, phi: float) -> tuple[np.ndarray, np.ndarray]:
         """Items (with undercounting f) that may be phi-heavy:
-        ``f + err >= ceil(phi * n)`` — a guaranteed superset of the true
-        phi-heavy hitters, each f undercounting by at most ``err``."""
+        ``f + err >= ceil(phi * n)`` — a superset of the true phi-heavy
+        hitters whenever ``err < ceil(phi * n)`` (guaranteed by sizing
+        ``m >= ceil(1/phi)``), each f undercounting by at most
+        ``err``."""
         bound = max(int(np.ceil(phi * self.n)) - self.err, 0)
         mask = self.f >= np.uint64(bound)
         order = np.argsort(self.items[mask])

@@ -179,3 +179,38 @@ def test_kmv_merge_equals_whole_and_estimates(values, cuts, order, k):
     # (compare elementwise — uint64 diff would wrap on out-of-order)
     assert whole.jaccard(merged) == 1.0
     assert bool(np.all(whole.mins[1:] > whole.mins[:-1]))
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st, m=st.integers(1, 64))
+@settings(**SETTINGS)
+def test_spacesaving_guarantees_any_partitioning(values, cuts, order, m):
+    """SpaceSaving is estimate-equivalent (not byte-equal) across
+    partitionings, so the fuzzed contract is its guarantee triple:
+    undercount <= err <= n/(m+1), unmonitored true counts <= err, and
+    query(phi) a superset of the true phi-heavy hitters — for ANY
+    split, merge order, and table size."""
+    from sketchlib import SpaceSaving
+
+    v = np.array(values, dtype=np.int64)
+    merged = _merged(SpaceSaving, {"m": m}, _split(v, cuts), order)
+    uniq, counts = np.unique(v, return_counts=True)
+    true = dict(zip(uniq.tolist(), counts.tolist()))
+    n = v.size
+    assert merged.n == n
+    assert merged.err * (m + 1) <= n
+    assert merged.items.size <= m
+    stored = dict(zip(merged.items.tolist(), merged.f.astype("int64").tolist()))
+    for item, f in stored.items():
+        t = true.get(item, 0)
+        assert f <= t and t - f <= merged.err
+    for item, t in true.items():
+        if item not in stored:
+            assert t <= merged.err
+    phi = 0.05
+    hh_true = {i for i, t in true.items() if t >= phi * n}
+    got = set(merged.query(phi)[0].tolist())
+    # detection precondition (kernel docstring): with m counters only
+    # frequencies above n/(m+1) are detectable, so the superset claim
+    # requires err < ceil(phi*n) — always true once m >= ceil(1/phi)
+    if merged.err < int(np.ceil(phi * n)):
+        assert hh_true <= got
