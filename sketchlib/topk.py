@@ -136,6 +136,20 @@ class LossyCounter:
 
     def merge(self, other: "LossyCounter") -> "LossyCounter":
         check_mergeable("lossy", self.params(), other.params())
+        # an empty side contributes nothing — returning unchanged keeps
+        # the merge a true identity (the general path below would still
+        # run a mid-window prune at b = ceil(n/width), which is more
+        # aggressive than the streaming algorithm ever is and can drop
+        # a boundary-exact heavy hitter at tiny n; empty partials are
+        # routine in Spark, so this identity matters)
+        if other.n == 0:
+            return self
+        if self.n == 0:
+            self.items = other.items.copy()
+            self.f = other.f.copy()
+            self.delta = other.delta.copy()
+            self.n = other.n
+            return self
         # an item missing from one side may have occurred up to that
         # side's current window count there → add it to delta
         b_self = self._window(self.n)
