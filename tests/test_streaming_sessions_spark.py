@@ -111,14 +111,24 @@ def session_rows(spark, tmp_path_factory):
         # micro-batch, which processAllAvailable does not always wait
         # for under load — poll until the five expected non-u9 sessions
         # have landed (bounded; exactly-once is still asserted by the
-        # tests, this only waits for arrival, never filters)
+        # tests, this only waits for arrival, never filters). Under a
+        # loaded host the no-data batch may not fire at all within the
+        # window (observed in a full-suite run), so each poll also
+        # NUDGES with one more u9 event: state timeouts are evaluated
+        # in every DATA micro-batch too, and u9 is excluded from all
+        # assertions, so the nudge cannot change the expected output.
         import time as _time
 
-        deadline = _time.time() + 30
+        deadline = _time.time() + 60
+        nudge_idx, nudge_ts = 6, 1030
         while _time.time() < deadline:
             rows = spark.sql("select * from sess_sink").collect()
             if sum(1 for r in rows if r["user_id"] != 9) >= 5:
                 break
+            _write_batch(src, nudge_idx, [(nudge_ts, 9, 1)])
+            nudge_idx += 1
+            nudge_ts += 10
+            q.processAllAvailable()
             _time.sleep(0.5)
         rows = spark.sql("select * from sess_sink").collect()
     finally:
