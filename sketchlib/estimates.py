@@ -338,7 +338,8 @@ def register_sql_functions(spark) -> None:
     Registered: hll_count, bloom_len, cms_total, ams_f2, ams_l2,
     kmv_distinct, kmv_jaccard(a, b), kmv_intersection(a, b),
     reservoir_seen, reservoir_size, tdigest_quantile(state, q),
-    tdigest_cdf(state, x).
+    tdigest_cdf(state, x), heavy_hitters(state, theta) — the last works
+    on both lossy and spacesaving states.
     """
     spark.udf.register("hll_count", hll_count)
     spark.udf.register("ams_f2", ams_f2)
@@ -365,3 +366,18 @@ def register_sql_functions(spark) -> None:
 
     spark.udf.register("tdigest_quantile", _tdigest_quantile)
     spark.udf.register("tdigest_cdf", _tdigest_cdf)
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _heavy_hitters(state: pd.Series, theta: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                load_state(bytes(b)).query(float(t))[0].tolist()
+                for b, t in zip(state, theta)
+            ]
+        )
+
+    # works on both heavy-hitter families via load_state dispatch:
+    # LossyCounter (f >= (theta-eps)*n) and SpaceSaving (f+err >= phi*n)
+    spark.udf.register("heavy_hitters", _heavy_hitters)

@@ -93,3 +93,38 @@ def test_collect_states_bounded_collect_guard(spark):
         collect_states(merged, ["g"], "hll", max_groups=5)
     states = collect_states(merged, ["g"], "hll", max_groups=20)
     assert len(states) == 20
+
+
+def test_sql_heavy_hitters_both_families(spark, seq_small):
+    """SQL fn heavy_hitters(state, theta) reads BOTH heavy-hitter
+    families (lossy and spacesaving) via the codec dispatch; both must
+    return supersets of the exact 2% heavy hitters per source."""
+    from sketchlib.estimates import register_sql_functions
+
+    register_sql_functions(spark)
+    specs = [
+        SketchSpec("lossy", "lossy", "tokens", {"epsilon": 0.001}),
+        SketchSpec("ss", "spacesaving", "tokens", {"m": 499}),
+    ]
+    merged = sketch_aggregate(seq_small, ["source"], specs, fanout=4)
+    merged.createOrReplaceTempView("hh_states")
+    got = {
+        (r["source"], r["sketch"]): set(r["hh"])
+        for r in spark.sql(
+            "SELECT source, sketch, heavy_hitters(state, 0.02) AS hh FROM hh_states"
+        ).collect()
+    }
+    exact = {}
+    totals = {}
+    for r in (
+        seq_small.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ):
+        exact[(r["source"], r["tok"])] = r["cnt"]
+        totals[r["source"]] = totals.get(r["source"], 0) + r["cnt"]
+    for src, n in totals.items():
+        hh_true = {t for (s, t), c in exact.items() if s == src and c >= 0.02 * n}
+        assert hh_true <= got[(src, "lossy")]
+        assert hh_true <= got[(src, "ss")]
