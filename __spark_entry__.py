@@ -478,6 +478,47 @@ def q_kll_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles per event_type (Masson et al.
+    VLDB'19; extra beyond the reference — completes the quantile family:
+    t-digest value-error, KLL rank-error, DDSketch RELATIVE error, and
+    merges byte-identically under any partitioning). Certificate: the
+    estimate must satisfy the relative-error guarantee against the
+    exact rank element WITHOUT materializing it — v_r within
+    [est/(1+a'), est/(1-a')] is equivalent to two scalable per-group
+    counts: #(value < est/(1+a')) <= r < #(value <= est/(1-a'))."""
+    from sketchlib.ddsketch import DDSketch
+
+    alpha = 0.01
+    slop = 1.0 + 1e-9  # float-division guard on the window edges
+    ev = _t(spark, sf_dir, "events")
+    merged = sketch_aggregate(
+        ev,
+        ["event_type"],
+        [SketchSpec("dd", "ddsketch", "value", {"alpha": alpha})],
+        fanout=8,
+    )
+    rows = merged.select("event_type", "state").collect()
+    qs = [
+        (et, *(DDSketch.from_bytes(bytes(b)).quantiles([0.5, 0.95]).tolist()))
+        for et, b in rows
+    ]
+    qdf = spark.createDataFrame(qs, "event_type string, q50 double, q95 double")
+    checks = []
+    for q, col in ((0.5, "q50"), (0.95, "q95")):
+        lo = F.col(col) / F.lit((1.0 + alpha) * slop)
+        hi = F.col(col) / F.lit((1.0 - alpha) / slop)
+        r = F.floor(F.lit(q) * (F.count(F.lit(1)) - 1))
+        c_lo = F.sum((F.col("value") < lo).cast("long"))
+        c_hi = F.sum((F.col("value") <= hi).cast("long"))
+        checks.append(((c_lo <= r) & (r < c_hi)).alias(f"{col}_ok"))
+    return (
+        ev.join(F.broadcast(qdf), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), *checks)
+    )
+
+
 def q_topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed top-10 words per lang (candidate generation +
     certified rescore, sketchlib.topk.topk_exact_rescore)."""
@@ -2759,6 +2800,7 @@ _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semijoin_building": q_bloom_semijoin_building,
     "tdigest_quantity_stats": q_tdigest_quantity_stats,
     "kll_event_value_quantiles": q_kll_event_value_quantiles,
+    "ddsketch_value_quantiles": q_ddsketch_value_quantiles,
     "topk_words_per_lang": q_topk_words_per_lang,
     "reservoir_sample_size": q_reservoir_sample_size,
     "dedup_exact_stats": q_dedup_exact_stats,
@@ -2826,6 +2868,7 @@ _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _VERIFIED_ROUND: dict[str, int] = {
     "direct_feed_build": 0,  # new in r5, never inside the window
     "spacesaving_heavy_hitters": 0,  # new in r5, never inside the window
+    "ddsketch_value_quantiles": 0,  # new in r5, never inside the window
     "kmv_source_overlap": 0,  # registered r4, never inside the window
     # last driver hash-match: round 2
     "checkpoint_resume": 2,
@@ -3108,6 +3151,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    TRUE AS q50_ok,
                    TRUE AS q90_ok
+            FROM events
+            GROUP BY event_type
+        """,
+        "ddsketch_value_quantiles": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   TRUE AS q50_ok,
+                   TRUE AS q95_ok
             FROM events
             GROUP BY event_type
         """,

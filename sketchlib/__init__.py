@@ -12,6 +12,7 @@ mapInArrow/applyInPandas — no per-row Python anywhere.
 from .ams import CountSketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .ddsketch import DDSketch
 from .codec import SketchCodecError, SketchParamMismatch
 from .cuckoo import CuckooFilter, CuckooFilterFull
 from .fd import FrequentDirections
@@ -29,6 +30,7 @@ __all__ = [
     "CountMinSketch",
     "BloomFilter",
     "TDigest",
+    "DDSketch",
     "KLL",
     "KMV",
     "LossyCounter",

@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 from .ams import CountSketch as AMSCountSketch
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .ddsketch import DDSketch
 from .fd import FrequentDirections
 from .hll import HLL
 from .kll import KLL
@@ -72,6 +73,7 @@ KERNELS = {
     "cms": CountMinSketch,
     "bloom": BloomFilter,
     "tdigest": TDigest,
+    "ddsketch": DDSketch,
     "kll": KLL,
     "lossy": LossyCounter,
     "spacesaving": SpaceSaving,
@@ -79,7 +81,7 @@ KERNELS = {
     "reservoir": Reservoir,
 }
 
-_NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd")  # consume float64
+_NUMERIC_KINDS = ("tdigest", "kll", "reservoir", "fd", "ddsketch")  # consume float64
 # consume int64; string inputs are pre-hashed JVM-side (note: for lossy /
 # topk over strings the emitted items are therefore xxhash64 values — use
 # topk_exact_rescore when the original values must appear in the output)

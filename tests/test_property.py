@@ -258,3 +258,36 @@ def test_lossy_guarantees_any_partitioning(values, cuts, order, inv_eps):
         hh_true = {i for i, t in true.items() if t >= theta * n + 2}
         got = set(merged.query(theta)[0].tolist())
         assert hh_true <= got
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e12, 1e12, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=2000,
+    ),
+    cuts=cuts_st,
+    order=order_seed_st,
+    alpha=st.sampled_from([0.005, 0.01, 0.05]),
+)
+@settings(**SETTINGS)
+def test_ddsketch_merge_byte_identical_and_relative_error(values, cuts, order, alpha):
+    """DDSketch merge is a bucket-wise counter add: the merged state
+    must be BYTE-IDENTICAL to the whole-stream build for any split and
+    merge order, and quantiles must sit within alpha relative error of
+    the exact rank element (0 exact when the rank lands on a zero)."""
+    from sketchlib.ddsketch import DDSketch
+
+    v = np.array(values, dtype=np.float64)
+    whole = DDSketch(alpha=alpha)
+    whole.update(v)
+    merged = _merged(DDSketch, {"alpha": alpha}, _split(v, cuts), order)
+    assert merged.to_bytes() == whole.to_bytes()
+    s = np.sort(v)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        true = s[int(np.floor(q * (v.size - 1)))]
+        est = whole.quantile(q)
+        if true == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) <= alpha * abs(true) + 1e-12

@@ -16,6 +16,9 @@ SPECS = [
     # kmv: bottom-k union is idempotent, so stream==batch byte-identity
     # covers it with no extra assertions
     SketchSpec("kmv", "kmv", "tokens", {"k": 256, "seed": 1}),
+    # ddsketch: bucket-wise counter add — byte-identical mergeable like
+    # cms, so the same stream==batch byte assertion covers it (r5)
+    SketchSpec("dd", "ddsketch", "n_tok", {"alpha": 0.01}),
 ]
 
 
