@@ -104,6 +104,18 @@ def kmv_intersection(state_a: pd.Series, state_b: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(DoubleType())
+def kmv_difference(state_a: pd.Series, state_b: pd.Series) -> pd.Series:
+    """|A\\B| from two KMV state columns (union-synopsis fraction in A
+    only × union distinct) — completes the pairwise set algebra."""
+    return pd.Series(
+        [
+            float(load_state(a).difference_distinct(load_state(b)))
+            for a, b in zip(state_a, state_b)
+        ]
+    )
+
+
 def kmv_pair_stats(
     states, pairs, group_col: str = "source", state_col: str = "state"
 ):
@@ -336,7 +348,7 @@ def register_sql_functions(spark) -> None:
                   "WHERE sketch = 'hll'")
 
     Registered: hll_count, bloom_len, cms_total, ams_f2, ams_l2,
-    kmv_distinct, kmv_jaccard(a, b), kmv_intersection(a, b),
+    kmv_distinct, kmv_jaccard(a, b), kmv_intersection(a, b), kmv_difference(a, b),
     reservoir_seen, reservoir_size, tdigest_quantile(state, q),
     tdigest_cdf(state, x), heavy_hitters(state, theta) — the last works
     on both lossy and spacesaving states.
@@ -347,6 +359,7 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("kmv_distinct", kmv_distinct)
     spark.udf.register("kmv_jaccard", kmv_jaccard)
     spark.udf.register("kmv_intersection", kmv_intersection)
+    spark.udf.register("kmv_difference", kmv_difference)
     spark.udf.register("bloom_len", bloom_len)
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("reservoir_seen", reservoir_seen)

@@ -171,6 +171,25 @@ class KMV:
         """|A∩B| ≈ J(A,B) · |A∪B| (Beyer SIGMOD'07 §5.2)."""
         return self.jaccard(other) * self.union_distinct(other)
 
+    def difference_distinct(self, other: "KMV") -> float:
+        """|A\\B| ≈ (fraction of the union synopsis's bottom-k' that is
+        in A but not B) · |A∪B| — the same uniform-sample argument as
+        :meth:`jaccard` (each union-synopsis member is a uniform draw
+        from A∪B), so the error scales identically (std ≤ 0.5/√k as a
+        fraction of |A∪B|). Completes the pairwise set algebra:
+        union / intersection / difference, all between merged group
+        states with no raw-data second pass."""
+        check_mergeable(KIND, self.params(), other.params())
+        union = np.union1d(self.mins, other.mins)[: self.k]
+        if union.size == 0:
+            return 0.0
+        only_a = np.isin(union, self.mins, assume_unique=True) & ~np.isin(
+            union, other.mins, assume_unique=True
+        )
+        frac = float(only_a.sum()) / float(union.size)
+        merged = KMV(self.k, self.seed, union)
+        return frac * merged.distinct()
+
     # -- merge ----------------------------------------------------------
 
     def merge(self, other: "KMV") -> "KMV":

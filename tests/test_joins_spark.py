@@ -147,12 +147,22 @@ def test_sql_kmv_estimators(spark, seq_small):
     pairs = spark.sql(
         """
         SELECT a.source AS sa, b.source AS sb,
-               kmv_jaccard(a.state, b.state) AS j
+               kmv_jaccard(a.state, b.state) AS j,
+               kmv_intersection(a.state, b.state) AS i,
+               kmv_difference(a.state, b.state) AS d_ab,
+               kmv_difference(b.state, a.state) AS d_ba,
+               kmv_distinct(a.state) AS da
         FROM kmv_sql_test a JOIN kmv_sql_test b ON a.source < b.source
         """
     ).collect()
     assert len(pairs) == len(exact) * (len(exact) - 1) // 2
     assert all(0.0 <= p.j <= 1.0 for p in pairs)
+    for p in pairs:
+        # set algebra coherence on the same union synopsis: the only-A
+        # fraction and the shared fraction both read the same bottom-k'
+        # sample, so inter + diff reconstructs |A| up to synopsis noise
+        assert p.i >= 0.0 and p.d_ab >= 0.0 and p.d_ba >= 0.0
+        assert abs((p.i + p.d_ab) - p.da) <= 0.2 * max(p.da, 1.0)
 
 
 def test_kmv_pair_stats_equi_join_path(spark, seq_small):

@@ -121,3 +121,26 @@ def test_with_relative_error_clamps_to_min_k():
     # eps above ~0.41 would compute k < 8; the factory clamps
     assert KMV.with_relative_error(0.5).k == 8
     assert KMV.with_relative_error(0.9).k == 8
+
+
+def test_difference_planted_overlap():
+    k = 2048
+    a, b = KMV(k=k, seed=5), KMV(k=k, seed=5)
+    # |A|=|B|=30k sharing 20k: |A\B| = |B\A| = 10k, |A∪B| = 40k
+    a.update(np.arange(0, 30_000))
+    b.update(np.arange(10_000, 40_000))
+    d_ab = a.difference_distinct(b)
+    d_ba = b.difference_distinct(a)
+    # std of the only-A fraction <= 0.5/sqrt(k) of |A∪B| = 40k
+    tol = 5 * 0.5 / np.sqrt(k) * 40_000 + 0.15 * 10_000
+    assert abs(d_ab - 10_000) < tol
+    assert abs(d_ba - 10_000) < tol
+    # identities: A\A = 0; disjoint: A\B = |A|; and the three-way
+    # decomposition inter + diff = distinct(A) holds exactly on the
+    # same union synopsis (both read the same bottom-k' sample)
+    assert a.difference_distinct(a) == 0.0
+    c = KMV(k=256, seed=2)
+    c.update(np.arange(0, 5000))
+    e = KMV(k=256, seed=2)
+    e.update(np.arange(5000, 10_000))
+    assert abs(c.difference_distinct(e) - 5000) / 5000 < 0.2
