@@ -103,3 +103,42 @@ def test_rollup_equals_direct(spark, seq_small):
     # HLL (elementwise max) and CMS (elementwise sum) are tree-shape
     # independent: rollup of per-source states == direct global build
     assert d == r
+
+
+def test_rollup_new_kernels(spark, seq_small):
+    """r5 kernels through the merge-up path: ddsketch rollup is
+    byte-identical to a direct global build (bucket-wise add, like
+    CMS); spacesaving rollup keeps its guarantee triple vs exact."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.agg import SketchSpec, load_state, rollup_states, sketch_aggregate
+
+    specs = [
+        SketchSpec("dd", "ddsketch", "n_tok", {"alpha": 0.01}),
+        SketchSpec("ss", "spacesaving", "tokens", {"m": 199}),
+    ]
+    per_source = sketch_aggregate(seq_small, ["source"], specs, fanout=4)
+    direct = {
+        r["sketch"]: bytes(r["state"])
+        for r in sketch_aggregate(seq_small, [], specs, fanout=4).collect()
+    }
+    rolled = {
+        r["sketch"]: bytes(r["state"])
+        for r in rollup_states(per_source, []).collect()
+    }
+    assert rolled["dd"] == direct["dd"]  # byte-identical merge class
+    ss = load_state(rolled["ss"])
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in seq_small.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert ss.n == n and ss.err * (ss.m + 1) <= n
+    items, f = ss.query(0.02)
+    got = dict(zip(items.tolist(), f.tolist()))
+    for tok, cnt in exact.items():
+        if cnt >= 0.02 * n:
+            assert tok in got and got[tok] <= cnt <= got[tok] + ss.err
