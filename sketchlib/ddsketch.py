@@ -157,6 +157,17 @@ class DDSketch:
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(q) for q in qs])
 
+    def cdf(self, x: float) -> float:
+        """Estimated fraction of values <= x: full counts for buckets
+        whose midpoint estimate is <= x. Inverse-consistent with
+        :meth:`quantile` (both read the same midpoints), and bracketed
+        by the exact cdf at x/(1+2α) and x·(1+2α) — the value window a
+        bucket's membership can straddle (tested)."""
+        if self.n == 0:
+            raise ValueError("cdf of an empty DDSketch")
+        vals, cnts = self._walk()
+        return float(cnts[vals <= float(x)].sum()) / float(self.n)
+
     def count(self) -> int:
         return self.n
 

@@ -105,3 +105,21 @@ def test_exact_on_tiny_inputs():
     dd2 = DDSketch(alpha=0.01)
     dd2.update(np.zeros(3))
     assert dd2.quantile(0.5) == 0.0
+
+
+def test_cdf_brackets_and_quantile_consistency():
+    rng = np.random.default_rng(9)
+    values = np.exp(rng.normal(2, 2, size=60_000))
+    dd = DDSketch(alpha=0.01)
+    dd.update(values)
+    s = np.sort(values)
+    for x in np.percentile(values, [1, 10, 50, 90, 99]):
+        est = dd.cdf(x)
+        lo = np.searchsorted(s, x / (1 + 2 * dd.alpha), side="right") / s.size
+        hi = np.searchsorted(s, x * (1 + 2 * dd.alpha), side="right") / s.size
+        assert lo - 1e-12 <= est <= hi + 1e-12, (x, est, lo, hi)
+    # inverse consistency on the sketch's own readouts
+    for q in (0.1, 0.5, 0.9):
+        assert abs(dd.cdf(dd.quantile(q)) - q) <= 0.02
+    with pytest.raises(ValueError):
+        DDSketch().cdf(1.0)
