@@ -50,17 +50,25 @@ def pack(kind: str, params: dict, payload: bytes) -> bytes:
 def unpack(data: bytes) -> tuple[str, dict, bytes]:
     if bytes(data[:4]) != MAGIC:
         raise SketchCodecError("bad magic: not a sketchlib state blob")
-    version = data[4]
-    if version == 1:
-        hlen = struct.unpack_from("<I", data, 5)[0]
-        off, flags = 9, 0
-    elif version == VERSION:
-        flags, hlen = struct.unpack_from("<BI", data, 5)
-        off = 10
-    else:
-        raise SketchCodecError(f"unsupported state version {version}")
-    header = json.loads(bytes(data[off : off + hlen]).decode())
-    kind = header.pop("kind")
+    try:
+        version = data[4]
+        if version == 1:
+            hlen = struct.unpack_from("<I", data, 5)[0]
+            off, flags = 9, 0
+        elif version == VERSION:
+            flags, hlen = struct.unpack_from("<BI", data, 5)
+            off = 10
+        else:
+            raise SketchCodecError(f"unsupported state version {version}")
+    except (struct.error, IndexError) as e:  # truncated fixed header
+        raise SketchCodecError(f"truncated state header: {e}") from e
+    try:
+        header = json.loads(bytes(data[off : off + hlen]).decode())
+        kind = header.pop("kind")
+    except (ValueError, KeyError, UnicodeDecodeError) as e:
+        # truncated/corrupt header — normalize to the codec's typed
+        # error so callers need exactly one except clause
+        raise SketchCodecError(f"corrupt state header: {e}") from e
     payload = bytes(data[off + hlen :])
     if flags & _FLAG_ZLIB:
         try:

@@ -291,3 +291,39 @@ def test_ddsketch_merge_byte_identical_and_relative_error(values, cuts, order, a
             assert est == 0.0
         else:
             assert abs(est - true) <= alpha * abs(true) + 1e-12
+
+
+@given(cut=st.integers(0, 400), flip=st.integers(0, 10**9), data=st.data())
+@settings(**SETTINGS)
+def test_codec_never_silently_accepts_corruption(cut, flip, data):
+    """Any truncation or byte-flip of a state blob must either raise a
+    typed error (SketchCodecError / SketchParamMismatch / ValueError /
+    OverflowError family from the kernel's own length checks) or — for
+    a flip confined to the raw payload of an UNCOMPRESSED store —
+    deserialize to the same kind with the same params; it must never
+    come back as a different kind or explode with an unrelated error."""
+    from sketchlib import HLL, KMV, SpaceSaving
+    from sketchlib.agg import load_state
+    from sketchlib.codec import SketchCodecError, unpack
+
+    kernel = data.draw(st.sampled_from(["hll", "kmv", "ss"]))
+    if kernel == "hll":
+        k = HLL(p=8, seed=1)
+    elif kernel == "kmv":
+        k = KMV(k=64, seed=1)
+    else:
+        k = SpaceSaving(m=16)
+    k.update(np.arange(500))
+    blob = bytearray(k.to_bytes())
+    if cut < len(blob):
+        blob = blob[:cut]
+    elif len(blob) > 0:
+        blob[flip % len(blob)] ^= 0xFF
+    try:
+        out = load_state(bytes(blob))
+    except (SketchCodecError, ValueError, OverflowError, KeyError, TypeError):
+        return  # typed rejection is the contract
+    # accepted: must at least be the same kind and param-compatible
+    kind, params, _ = unpack(bytes(blob))
+    assert type(out).__name__ == type(k).__name__
+    assert params == k.params()
