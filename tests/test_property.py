@@ -327,3 +327,30 @@ def test_codec_never_silently_accepts_corruption(cut, flip, data):
     kind, params, _ = unpack(bytes(blob))
     assert type(out).__name__ == type(k).__name__
     assert params == k.params()
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=2500,
+    ),
+    cuts=cuts_st,
+    order=order_seed_st,
+    k=st.integers(1, 300),
+)
+@settings(**SETTINGS)
+def test_reservoir_merge_invariants_any_partitioning(values, cuts, order, k):
+    """Weighted reservoir merge (Efraimidis–Spirakis): for ANY split,
+    merge order, and k — seen-count is exact, sample size is
+    min(k, n), and every sampled element came from the data (uniformity
+    is statistical and asserted in test_gen_spark / FIXTURES.md)."""
+    from sketchlib import Reservoir
+
+    v = np.array(values, dtype=np.float64)
+    merged = _merged(Reservoir, {"k": k, "seed": 7}, _split(v, cuts), order)
+    assert merged.n == v.size
+    assert merged.sample.size == min(k, v.size)
+    # every kept element is a real data element (bitwise: float64 ==)
+    data = set(v.tolist())
+    assert all(x in data for x in merged.sample.tolist())
