@@ -354,3 +354,68 @@ def test_reservoir_merge_invariants_any_partitioning(values, cuts, order, k):
     # every kept element is a real data element (bitwise: float64 ==)
     data = set(v.tolist())
     assert all(x in data for x in merged.sample.tolist())
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st, k=st.integers(1, 12))
+@settings(**SETTINGS)
+def test_topk_merge_contract_any_partitioning(values, cuts, order, k):
+    """Merged CMS-backed TopK under any split/merge order: the CMS
+    substrate is exact-sum (so estimates of returned items never
+    undercount their true counts and respect the e/w bound), candidates
+    only ever come from the data, and the readout is (count desc, item
+    asc)-ordered with at most k rows."""
+    from sketchlib.topk import TopK
+
+    v = np.array(values, dtype=np.int64)
+    w, d = 1024, 4
+    merged = _merged(
+        TopK, {"k": k, "w": w, "d": d, "seed": 9}, _split(v, cuts), order
+    )
+    uniq, counts = np.unique(v, return_counts=True)
+    true = dict(zip(uniq.tolist(), counts.tolist()))
+    items, est = merged.query()
+    assert items.size <= k
+    assert set(items.tolist()) <= set(true)  # candidates ⊆ data
+    eps_n = np.e / w * v.size
+    for it, e in zip(items.tolist(), est.tolist()):
+        assert true[it] <= e <= true[it] + eps_n
+    keys = [(-e, it) for it, e in zip(items.tolist(), est.tolist())]
+    assert keys == sorted(keys)
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    cuts=cuts_st,
+    order=order_seed_st,
+    l=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_fd_spectral_bound_any_partitioning(rows, cuts, order, l):
+    """Frequent Directions under any split/merge order: the carried
+    shrinkage total must remain a true spectral bound
+    ||A^T A - B^T B||_2 <= delta_total <= ||A||_F^2 / l (Liberty
+    KDD'13 Thm 1.1 + the mergeability accounting of Ghashami et al.),
+    and n / ||A||_F^2 must stay exact."""
+    from sketchlib.fd import FrequentDirections
+
+    A = np.array(rows, dtype=np.float64)
+    dim = 4
+    # split by ROWS (dim-aligned), then flatten each part
+    row_parts = _split(np.arange(A.shape[0]), cuts)
+    parts = [A[idx].ravel() for idx in row_parts]
+    merged = _merged(FrequentDirections, {"l": l, "dim": dim}, parts, order)
+    assert merged.n == A.shape[0]
+    assert abs(merged.fro2 - np.einsum("ij,ij->", A, A)) <= 1e-6 * max(merged.fro2, 1.0)
+    gram = A.T @ A
+    diff = gram - merged.cov_sketch()
+    spec = float(np.linalg.norm(diff, 2))
+    assert spec <= merged.delta_total + 1e-6 * max(1.0, merged.fro2)
+    assert merged.delta_total <= merged.fro2 / l + 1e-6 * max(1.0, merged.fro2)
