@@ -419,3 +419,26 @@ def test_fd_spectral_bound_any_partitioning(rows, cuts, order, l):
     spec = float(np.linalg.norm(diff, 2))
     assert spec <= merged.delta_total + 1e-6 * max(1.0, merged.fro2)
     assert merged.delta_total <= merged.fro2 / l + 1e-6 * max(1.0, merged.fro2)
+
+
+@given(values=values_st, cuts=cuts_st, order=order_seed_st, w=st.sampled_from([256, 1024]))
+@settings(**SETTINGS)
+def test_ams_merge_equals_whole_and_unbiased_family(values, cuts, order, w):
+    """CountSketch/AMS merge is a signed int64 table add — merged state
+    must be byte-identical to a whole-stream build for any split and
+    merge order; point estimates of present items stay within the
+    3/sqrt(w)·L2 single-example sanity window around truth (the
+    unbiasedness itself is statistical, asserted in test_ams.py)."""
+    from sketchlib import CountSketch
+
+    v = np.array(values, dtype=np.int64)
+    whole = CountSketch(w=w, d=5, seed=13)
+    whole.update(v)
+    merged = _merged(CountSketch, {"w": w, "d": 5, "seed": 13}, _split(v, cuts), order)
+    assert merged.to_bytes() == whole.to_bytes()
+    uniq, counts = np.unique(v, return_counts=True)
+    est = whole.query_points(uniq)
+    l2 = float(np.sqrt((counts.astype(np.float64) ** 2).sum()))
+    # median-of-d estimates: |est - true| <= 3/sqrt(w)*L2 holds w.h.p.
+    # per point; allow the generous 5x window for a per-example assert
+    assert (np.abs(est - counts) <= 5 * 3.0 / np.sqrt(w) * l2 + 1e-9).all()
