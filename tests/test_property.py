@@ -442,3 +442,44 @@ def test_ams_merge_equals_whole_and_unbiased_family(values, cuts, order, w):
     # median-of-d estimates: |est - true| <= 3/sqrt(w)*L2 holds w.h.p.
     # per point; allow the generous 5x window for a per-example assert
     assert (np.abs(est - counts) <= 5 * 3.0 / np.sqrt(w) * l2 + 1e-9).all()
+
+
+@given(
+    ins=st.lists(st.integers(0, 5000), min_size=1, max_size=600),
+    dels=st.lists(st.integers(0, 40), min_size=0, max_size=80),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_filter_family_no_false_negatives_under_ops(ins, dels, data):
+    """Cuckoo and quotient filters under random insert/delete
+    sequences: a currently-inserted element NEVER queries false
+    (the AMQ no-false-negative contract, cuckoofilter.rs /
+    quotientfilter.rs); cuckoo's exact len tracks the multiset size;
+    deletes only remove what was inserted."""
+    from sketchlib.cuckoo import CuckooFilter, CuckooFilterFull
+    from sketchlib.quotient import QuotientFilter, QuotientFilterFull
+
+    which = data.draw(st.sampled_from(["cuckoo", "quotient"]))
+    if which == "cuckoo":
+        f = CuckooFilter(n_buckets=1 << 10, bucketsize=4, l_fingerprint=16, seed=3)
+    else:
+        f = QuotientFilter(bits_quotient=11, bits_remainder=13, seed=3)
+    live: list[int] = []
+    try:
+        for x in ins:
+            f.update(np.array([x], dtype=np.int64))
+            live.append(x)
+    except (CuckooFilterFull, QuotientFilterFull):
+        pass  # capacity exhaustion is a legal, loud outcome
+    if live:
+        arr = np.array(live, dtype=np.int64)
+        assert f.query(arr).all()  # no false negatives, ever
+    if which == "cuckoo":
+        assert len(f) == len(live)  # exact multiset len
+        for d in dels:
+            if live:
+                victim = live.pop(d % len(live))
+                assert bool(f.delete(np.array([victim], dtype=np.int64))[0])
+        if live:
+            assert f.query(np.array(live, dtype=np.int64)).all()
+        assert len(f) == len(live)
