@@ -2383,7 +2383,7 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jaccard and union errors combined). The pair join runs over
     #sources state rows (KB), never the corpus; the exact side is the
     certificate (the SQL oracle's own shape), as in hll_set_algebra."""
-    from sketchlib.estimates import kmv_jaccard, kmv_intersection
+    from sketchlib.estimates import kmv_difference, kmv_jaccard, kmv_intersection
 
     docs = _words(_t(spark, sf_dir, "documents"))
     merged = sketch_aggregate(
@@ -2400,6 +2400,8 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_b",
         kmv_jaccard("state_a", "state_b").alias("j_est"),
         kmv_intersection("state_a", "state_b").alias("i_est"),
+        kmv_difference("state_a", "state_b").alias("d_ab_est"),
+        kmv_difference("state_b", "state_a").alias("d_ba_est"),
     )
     sw = docs.select("source", F.explode("words").alias("w")).distinct()
     cnt = sw.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
@@ -2431,6 +2433,17 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("i_est") - F.col("inter_words"))
                 <= F.lit(0.25) * F.col("union_words") + F.lit(3.0)
             ).alias("kmv_inter_ok"),
+            # set difference (r5): |A\\B| exact = cnt_a - inter; the
+            # only-in-A fraction has the same sample-proportion error
+            # profile as J, so the same combined bound applies
+            (
+                F.abs(F.col("d_ab_est") - (F.col("cnt_a") - F.col("inter_words")))
+                <= F.lit(0.25) * F.col("union_words") + F.lit(3.0)
+            ).alias("kmv_diff_ab_ok"),
+            (
+                F.abs(F.col("d_ba_est") - (F.col("cnt_b") - F.col("inter_words")))
+                <= F.lit(0.25) * F.col("union_words") + F.lit(3.0)
+            ).alias("kmv_diff_ba_ok"),
         )
     )
 
@@ -3760,7 +3773,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.source_a, i.source_b, i.inter_words,
                    ca.cnt + cb.cnt - i.inter_words AS union_words,
                    TRUE AS kmv_jaccard_ok,
-                   TRUE AS kmv_inter_ok
+                   TRUE AS kmv_inter_ok,
+                   TRUE AS kmv_diff_ab_ok,
+                   TRUE AS kmv_diff_ba_ok
             FROM inter i
             JOIN cnt ca ON ca.source = i.source_a
             JOIN cnt cb ON cb.source = i.source_b
