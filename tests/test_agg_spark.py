@@ -256,3 +256,40 @@ def test_preagg_null_array_elements_match_raw(spark):
     for k in raw:
         assert raw[k] == pre[k], f"mismatch for {k}"
     assert raw[("a", "hll")][1] == 3  # 1, 3, 4 — the null never counted
+
+
+def test_preagg_count_col_spacesaving_guarantees(spark, seq_small):
+    """Explicit count_col routing for the r5 kind: building SpaceSaving
+    from pre-aggregated (token, count) rows must consume the
+    multiplicities exactly — n equals the raw token total and the
+    guarantee triple holds vs exact counts (estimate-equivalent to the
+    raw path, not byte-equal: compress timing differs by grouping)."""
+    from sketchlib.agg import load_state
+
+    m = 199
+    flat = seq_small.select("source", F.explode("tokens").alias("tok"))
+    pre = flat.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = sketch_aggregate(
+        pre,
+        ["source"],
+        [SketchSpec("ss", "spacesaving", "tok", {"m": m}, count_col="cnt")],
+        fanout=4,
+    )
+    exact = {
+        (r["source"], r["tok"]): r["cnt"] for r in pre.collect()
+    }
+    totals: dict = {}
+    for (src, _), c in exact.items():
+        totals[src] = totals.get(src, 0) + c
+    rows = {r["source"]: bytes(r["state"]) for r in merged.collect()}
+    assert set(rows) == set(totals)
+    for src, blob in rows.items():
+        ss = load_state(blob)
+        n = totals[src]
+        assert ss.n == n and ss.err * (m + 1) <= n
+        items, f = ss.query(0.02)
+        for it, fv in zip(items.tolist(), f.tolist()):
+            ex = exact.get((src, it), 0)
+            assert fv <= ex and ex - fv <= ss.err
+        heavy = {t for (s, t), c in exact.items() if s == src and c >= 0.02 * n}
+        assert heavy <= set(items.tolist())
