@@ -248,3 +248,61 @@ def test_restart_resumes_state(spark, tmp_path_factory):
     assert len(w0) == 1
     assert w0[0]["n_updates"] == 3
     assert round(load_state(bytes(w0[0]["state"])).count()) == 3
+
+
+def test_windowed_ddsketch_states(spark, tmp_path_factory):
+    """r5 kernel through the windowed stateful operator: per-window
+    DDSketch states finalize with exact n and a median within alpha of
+    the true per-window median (values here are small ints, so the
+    relative bound pins them to the exact bucket)."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from sketchlib.streaming import windowed_sketch_stream
+
+    src = str(tmp_path_factory.mktemp("win_dd_src"))
+    ckpt = str(tmp_path_factory.mktemp("win_dd_ckpt"))
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("user_id", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = windowed_sketch_stream(
+        stream,
+        "ts",
+        [],
+        [SketchSpec("dd", "ddsketch", "user_id", {"alpha": 0.01})],
+        window_duration="1 minute",
+        watermark_delay="30 seconds",
+    )
+    # window0 [0,60): values 10,20,30; window1 [60,120): 40,50
+    _write_batch(src, 1, [(0, 10), (10, 20), (20, 30), (61, 40), (70, 50)])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_dd_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark far past both windows so they finalize
+        _write_batch(src, 2, [(400, 1)])
+        q.processAllAvailable()
+        _write_batch(src, 3, [(500, 1)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from win_dd_sink").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"] - EPOCH).total_seconds(): load_state(bytes(r["state"]))
+        for r in rows
+        if (r["window_start"] - EPOCH).total_seconds() < 120
+    }
+    assert set(got) == {0.0, 60.0}
+    dd0, dd1 = got[0.0], got[60.0]
+    assert dd0.n == 3 and dd1.n == 2
+    assert abs(dd0.quantile(0.5) - 20.0) <= 0.01 * 20.0
+    assert abs(dd1.quantile(0.5) - 40.0) <= 0.01 * 40.0
