@@ -155,7 +155,17 @@ class DDSketch:
         return float(vals[pos])
 
     def quantiles(self, qs) -> np.ndarray:
-        return np.array([self.quantile(q) for q in qs])
+        """Batch quantiles with ONE store walk (identical results to
+        per-q :meth:`quantile`, pytest-asserted)."""
+        if self.n == 0:
+            raise ValueError("quantile of an empty DDSketch")
+        qs = np.asarray(list(qs), dtype=np.float64)
+        if ((qs < 0.0) | (qs > 1.0)).any():
+            raise ValueError("quantiles must be in [0, 1]")
+        ranks = np.floor(qs * (self.n - 1)).astype(np.int64)
+        vals, cnts = self._walk()
+        cum = np.cumsum(cnts)
+        return vals[np.searchsorted(cum, ranks + 1)]
 
     def cdf(self, x: float) -> float:
         """Estimated fraction of values <= x: full counts for buckets

@@ -123,3 +123,19 @@ def test_cdf_brackets_and_quantile_consistency():
         assert abs(dd.cdf(dd.quantile(q)) - q) <= 0.02
     with pytest.raises(ValueError):
         DDSketch().cdf(1.0)
+
+
+def test_quantiles_batch_equals_per_q():
+    rng = np.random.default_rng(12)
+    values = np.exp(rng.normal(0, 3, size=40_000)) * rng.choice(
+        [-1.0, 1.0], size=40_000
+    )
+    dd = DDSketch(alpha=0.01)
+    dd.update(values)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    batch = dd.quantiles(qs)
+    assert batch.tolist() == [dd.quantile(q) for q in qs]
+    with pytest.raises(ValueError):
+        dd.quantiles([0.5, 1.5])
+    with pytest.raises(ValueError):
+        DDSketch().quantiles([0.5])
