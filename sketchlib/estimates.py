@@ -351,7 +351,9 @@ def register_sql_functions(spark) -> None:
     kmv_distinct, kmv_jaccard(a, b), kmv_intersection(a, b), kmv_difference(a, b),
     reservoir_seen, reservoir_size, tdigest_quantile(state, q),
     tdigest_cdf(state, x), heavy_hitters(state, theta) — the last works
-    on both lossy and spacesaving states.
+    on both lossy and spacesaving states — and the kind-generic aliases
+    sketch_quantile / sketch_cdf (same UDFs; the codec dispatch reads
+    any quantile-bearing state: tdigest / kll / ddsketch).
     """
     spark.udf.register("hll_count", hll_count)
     spark.udf.register("ams_f2", ams_f2)
@@ -379,6 +381,12 @@ def register_sql_functions(spark) -> None:
 
     spark.udf.register("tdigest_quantile", _tdigest_quantile)
     spark.udf.register("tdigest_cdf", _tdigest_cdf)
+    # kind-generic aliases: the codec dispatch means the same UDFs read
+    # ANY quantile-bearing state (tdigest, kll, ddsketch — quantile;
+    # tdigest, ddsketch — cdf); the aliases make that intent visible in
+    # SQL without breaking the historical tdigest_* names
+    spark.udf.register("sketch_quantile", _tdigest_quantile)
+    spark.udf.register("sketch_cdf", _tdigest_cdf)
 
     from pyspark.sql.types import ArrayType
 

@@ -194,3 +194,38 @@ def test_kmv_pair_stats_equi_join_path(spark, seq_small):
         assert r.kmv_intersection == pytest.approx(
             kern[sa].intersection_distinct(kern[sb])
         )
+
+
+def test_sql_generic_quantile_aliases(spark, seq_small):
+    """sketch_quantile / sketch_cdf read every quantile-bearing kind
+    (tdigest, kll, ddsketch) via the codec dispatch."""
+    from sketchlib.agg import SketchSpec, sketch_aggregate
+    from sketchlib.estimates import register_sql_functions
+
+    register_sql_functions(spark)
+    specs = [
+        SketchSpec("td", "tdigest", "n_tok", {"delta": 200.0}),
+        SketchSpec("kll", "kll", "n_tok", {"k": 200, "seed": 3}),
+        SketchSpec("dd", "ddsketch", "n_tok", {"alpha": 0.01}),
+    ]
+    merged = sketch_aggregate(seq_small, [], specs, fanout=4)
+    merged.createOrReplaceTempView("q_states")
+    meds = {
+        r["sketch"]: r["med"]
+        for r in spark.sql(
+            "SELECT sketch, sketch_quantile(state, 0.5) AS med FROM q_states"
+        ).collect()
+    }
+    exact_med = seq_small.approxQuantile("n_tok", [0.5], 0.0)[0]
+    assert set(meds) == {"td", "kll", "dd"}
+    for kind, est in meds.items():
+        assert abs(est - exact_med) <= 0.1 * exact_med + 2, (kind, est, exact_med)
+    cdfs = {
+        r["sketch"]: r["c"]
+        for r in spark.sql(
+            f"SELECT sketch, sketch_cdf(state, {exact_med}) AS c FROM q_states "
+            "WHERE sketch IN ('td', 'dd')"
+        ).collect()
+    }
+    for kind, c in cdfs.items():
+        assert 0.4 <= c <= 0.6, (kind, c)
