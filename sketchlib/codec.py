@@ -8,11 +8,18 @@ byte, a JSON params header (kind, seed, shape parameters), then the
 state payload. Merge validates header equality, mirroring the
 reference's buildhasher/parameter asserts (countminsketch.rs:271-284).
 
-Payloads compress transparently (zlib level 1) when that actually
-shrinks them: per-partition CMS tables / Bloom bitsets are mostly zeros
-at typical fill, and at cluster scale the stage-1→stage-2 shuffle is
-entirely state rows, so 10-50× smaller blobs directly shrink the only
-shuffle in the job. Version-1 blobs (pre-compression) still unpack.
+Payloads compress transparently when that actually shrinks them:
+per-partition CMS tables / Bloom bitsets are mostly zeros at typical
+fill, and at cluster scale the stage-1→stage-2 shuffle is entirely
+state rows, so 10-50× smaller blobs directly shrink the only shuffle
+in the job. The codec is zstd level 1 via pyarrow (r6: measured vs the
+previous zlib-1 on representative partials — CMS 327 KB: 3.07→1.61 ms
+and 49→33 KB; near-full Bloom bitset 131 KB: 3.76→0.06 ms, both
+incompressible-input short-circuit and ratio improve — pack/unpack sat
+at ~13% of the stage-1 consumer's per-file profile). zstd payloads
+carry their raw length (8 bytes LE) because pyarrow's decompressor
+needs it. Falls back to zlib-1 where pyarrow is absent; zlib-flagged
+and version-1 (pre-compression) blobs still unpack.
 """
 
 from __future__ import annotations
@@ -21,9 +28,18 @@ import json
 import struct
 import zlib
 
+try:  # pyarrow ships zstd; keep the codec importable without it
+    import pyarrow as _pa
+
+    _ZSTD_C = _pa.Codec("zstd", 1)
+    _ZSTD_D = _pa.Codec("zstd")
+except Exception:  # pragma: no cover - pyarrow is a de-facto hard dep
+    _ZSTD_C = _ZSTD_D = None
+
 MAGIC = b"SKL1"
 VERSION = 2
 _FLAG_ZLIB = 1
+_FLAG_ZSTD = 2
 
 
 class SketchCodecError(ValueError):
@@ -40,10 +56,17 @@ def pack(kind: str, params: dict, payload: bytes) -> bytes:
     ).encode()
     flags = 0
     if len(payload) >= 256:
-        packed = zlib.compress(payload, 1)
+        if _ZSTD_C is not None:
+            packed = struct.pack("<Q", len(payload)) + _ZSTD_C.compress(
+                payload, asbytes=True
+            )
+            flag = _FLAG_ZSTD
+        else:
+            packed = zlib.compress(payload, 1)
+            flag = _FLAG_ZLIB
         if len(packed) < len(payload) * 0.9:
             payload = packed
-            flags |= _FLAG_ZLIB
+            flags |= flag
     return MAGIC + struct.pack("<BBI", VERSION, flags, len(header)) + header + payload
 
 
@@ -64,13 +87,24 @@ def unpack(data: bytes) -> tuple[str, dict, bytes]:
         raise SketchCodecError(f"truncated state header: {e}") from e
     try:
         header = json.loads(bytes(data[off : off + hlen]).decode())
+        if not isinstance(header, dict):
+            # valid non-dict JSON (array/scalar) from a corrupt header
+            # must surface as the codec's typed error, not a TypeError
+            # deep in .pop (ADVICE r5)
+            raise KeyError(f"not an object: {header!r}")
         kind = header.pop("kind")
     except (ValueError, KeyError, UnicodeDecodeError) as e:
         # truncated/corrupt header — normalize to the codec's typed
         # error so callers need exactly one except clause
         raise SketchCodecError(f"corrupt state header: {e}") from e
     payload = bytes(data[off + hlen :])
-    if flags & _FLAG_ZLIB:
+    if flags & _FLAG_ZSTD:
+        try:
+            (rawlen,) = struct.unpack_from("<Q", payload, 0)
+            payload = _ZSTD_D.decompress(payload[8:], rawlen, asbytes=True)
+        except Exception as e:  # truncated/corrupt blob → codec error
+            raise SketchCodecError(f"corrupt compressed state payload: {e}") from e
+    elif flags & _FLAG_ZLIB:
         try:
             payload = zlib.decompress(payload)
         except zlib.error as e:  # truncated/corrupt blob → codec error
