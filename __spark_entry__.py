@@ -82,6 +82,37 @@ class _stream_shuffle:
         return False
 
 
+def _par(*thunks):
+    """Run independent Spark actions concurrently (optimization guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially — overlapping independent jobs lets the next job's
+    tasks back-fill executors freed by the current job's tail). Returns
+    the thunks' results in order; the first failure propagates.
+    InheritableThread so each job inherits the caller's job group /
+    scheduler properties. Safe with shared persisted frames: Spark's
+    BlockManager computes a cached block once and concurrent readers
+    block on / reuse it."""
+    from pyspark import InheritableThread
+
+    results = [None] * len(thunks)
+    errs: list[BaseException] = []
+
+    def run(i):
+        try:
+            results[i] = thunks[i]()
+        except BaseException as e:  # surfaced after all joins
+            errs.append(e)
+
+    threads = [InheritableThread(target=run, args=(i,)) for i in range(len(thunks))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    return results
+
+
 def _ensure_workers(spark: SparkSession) -> None:
     """Make sketchlib importable on executors regardless of how the
     caller created its session: PYTHONPATH (set at module import above)
@@ -160,7 +191,7 @@ def entry(spark: SparkSession) -> DataFrame:
         SketchSpec("chars_digest", "tdigest", "n_chars", {"delta": 200.0}),
         SketchSpec("chars_kll", "kll", "n_chars", {"k": 200, "seed": SEED}),
     ]
-    merged = sketch_aggregate(docs, ["source"], specs, fanout=8)
+    merged = sketch_aggregate(docs, ["source"], specs, fanout="auto")
     hll_rows = merged.filter(F.col("sketch") == "distinct_words")
     return (
         hll_rows.withColumn("distinct_words_est", hll_count("state"))
@@ -194,8 +225,8 @@ def q_direct_feed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         SketchSpec("bloom", "bloom", "user_id", {"m": 1 << 18, "k": 5, "seed": SEED}),
     ]
     ev = spark.read.parquet(path)
-    direct = sketch_aggregate_direct(spark, path, ["event_type"], specs, fanout=8)
-    default = sketch_aggregate(ev, ["event_type"], specs, fanout=8)
+    direct = sketch_aggregate_direct(spark, path, ["event_type"], specs, fanout="auto")
+    default = sketch_aggregate(ev, ["event_type"], specs, fanout="auto")
     same = (
         direct.alias("a")
         .join(default.alias("b"), ["event_type", "sketch"])
@@ -234,7 +265,7 @@ def q_hll_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFra
     """HLL distinct-token count per source vs exact, bound-checked."""
     docs = _words(_t(spark, sf_dir, "documents"))
     merged = sketch_aggregate(
-        docs, ["source"], [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})], fanout=8
+        docs, ["source"], [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})], fanout="auto"
     )
     est = merged.withColumn("est", hll_count("state")).select("source", "est")
     exact = (
@@ -255,7 +286,7 @@ def q_hll_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFra
 def q_hll_distinct_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     merged = sketch_aggregate(
-        ev, ["event_type"], [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})], fanout=8
+        ev, ["event_type"], [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})], fanout="auto"
     )
     est = merged.withColumn("est", hll_count("state")).select("event_type", "est")
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("distinct_users"))
@@ -275,7 +306,7 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _words(_t(spark, sf_dir, "documents"))
     w, d = 2048, 5
     merged = sketch_aggregate(
-        docs, [], [SketchSpec("cms", "cms", "words", {"w": w, "d": d, "seed": SEED})], fanout=8
+        docs, [], [SketchSpec("cms", "cms", "words", {"w": w, "d": d, "seed": SEED})], fanout="auto"
     )
     blob = merged.select("state").collect()[0][0]
     sketch = CountMinSketch.from_bytes(bytes(blob))
@@ -336,18 +367,28 @@ def q_tdigest_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, min/max exact — tdigest.rs:1355-1361) + quantile tolerance."""
     li = _t(spark, sf_dir, "lineitem")
     merged = sketch_aggregate(
-        li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout=8
+        li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout="auto"
     )
-    rows = merged.select("l_returnflag", "state").collect()
+    from sketchlib import caches as _caches
+
+    exact = _caches.register(
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("exact_q50"))
+        .persist(),
+        owner="entry.tdigest_quantity_stats",
+    )
+    # digest build and exact percentile are independent passes over
+    # lineitem: overlap them (guide §2.6)
+    rows, _n = _par(
+        lambda: merged.select("l_returnflag", "state").collect(),
+        lambda: exact.count(),
+    )
     stats = []
     for flag, blob in rows:
         td = TDigest.from_bytes(bytes(blob))
         stats.append((flag, int(td.count()), float(td.min), float(td.max), td.quantile(0.5)))
     sdf = spark.createDataFrame(
         stats, "l_returnflag string, n_rows long, min_qty double, max_qty double, q50 double"
-    )
-    exact = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("exact_q50")
     )
     return sdf.join(exact, "l_returnflag").select(
         "l_returnflag",
@@ -376,7 +417,7 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
             SketchSpec("kmv", "kmv", "words", {"k": KMV_K, "seed": SEED}),
             SketchSpec("td", "tdigest", "n_chars", {"delta": 200.0}),
         ],
-        fanout=8,
+        fanout="auto",
     )
     merged.createOrReplaceTempView("sketch_states")
     docs.select("doc_id", "source", F.explode("words").alias("w"), "n_chars").createOrReplaceTempView(
@@ -430,7 +471,7 @@ def q_tdigest_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 weight_col="l_quantity",
             )
         ],
-        fanout=8,
+        fanout="auto",
     )
     rows = merged.select("l_returnflag", "state").collect()
     stats = [
@@ -456,7 +497,7 @@ def q_kll_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the estimated quantile must be within ±0.05 of the target."""
     ev = _t(spark, sf_dir, "events")
     merged = sketch_aggregate(
-        ev, ["event_type"], [SketchSpec("kll", "kll", "value", {"k": 200, "seed": SEED})], fanout=8
+        ev, ["event_type"], [SketchSpec("kll", "kll", "value", {"k": 200, "seed": SEED})], fanout="auto"
     )
     rows = merged.select("event_type", "state").collect()
     qs = [(et, *(KLL.from_bytes(bytes(b)).quantiles([0.5, 0.9]).tolist())) for et, b in rows]
@@ -496,7 +537,7 @@ def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         [SketchSpec("dd", "ddsketch", "value", {"alpha": alpha})],
-        fanout=8,
+        fanout="auto",
     )
     rows = merged.select("event_type", "state").collect()
     qs = [
@@ -537,7 +578,7 @@ def q_reservoir_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         [SketchSpec("res", "reservoir", "value", {"k": 100, "seed": SEED})],
-        fanout=8,
+        fanout="auto",
     )
     rows = merged.select("event_type", "state").collect()
     out = []
@@ -670,8 +711,13 @@ def q_srp_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     exact = cosine_neardup_pairs_blocked(emb, 0.45).persist()
     lsh = srp_neardup_pairs(emb, 0.45, dim=64, n_bits=3, n_tables=24, seed=SEED)
-    n_exact = exact.count()
-    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").count()
+    # the exact count and the LSH-side semi-join are independent jobs:
+    # overlap them (guide §2.6); both first-materialize the shared
+    # persisted `exact` (computed once by the BlockManager)
+    n_exact, n_hit = _par(
+        lambda: exact.count(),
+        lambda: exact.join(lsh, ["id_a", "id_b"], "left_semi").count(),
+    )
     exact.unpersist()
     recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
@@ -694,8 +740,10 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     exact = cosine_neardup_pairs_blocked(emb, 0.9).persist()
     sem = semantic_dedup_pairs(emb, 0.9, dim=64, n_lists=16, seed=SEED)
-    n_exact = exact.count()
-    n_hit = exact.join(sem, ["id_a", "id_b"], "left_semi").count()
+    n_exact, n_hit = _par(  # independent jobs overlap (guide §2.6)
+        lambda: exact.count(),
+        lambda: exact.join(sem, ["id_a", "id_b"], "left_semi").count(),
+    )
     exact.unpersist()
     recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
@@ -724,8 +772,10 @@ def q_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, q, k=10, dim=64, n_lists=16, nprobe=12, seed=SEED).select(
         "query_id", "neighbor_id"
     )
-    n_exact = exact.count()
-    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    n_exact, n_hit = _par(  # independent jobs overlap (guide §2.6)
+        lambda: exact.count(),
+        lambda: exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count(),
+    )
     exact.unpersist()
     recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
@@ -750,10 +800,17 @@ def q_pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     exact = cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").persist()
-    books = pq_train(emb, dim=64, m=8, k_cent=64, seed=SEED)
-    approx = pq_topk(emb, q, books, k=10, rerank=150).select("query_id", "neighbor_id")
-    n_exact = exact.count()
-    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+
+    def _hit() -> int:
+        # PQ training is itself a driver-side job chain: keep it inside
+        # the overlapped thunk so it runs while the exact side computes
+        books = pq_train(emb, dim=64, m=8, k_cent=64, seed=SEED)
+        approx = pq_topk(emb, q, books, k=10, rerank=150).select(
+            "query_id", "neighbor_id"
+        )
+        return exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+
+    n_exact, n_hit = _par(lambda: exact.count(), _hit)  # guide §2.6
     exact.unpersist()
     recall = (n_hit / n_exact) if n_exact else 1.0
     return spark.createDataFrame(
@@ -860,7 +917,7 @@ def q_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps, inv_theta = 0.001, 50  # theta = 0.02
     docs = _words(_t(spark, sf_dir, "documents"))
     merged = sketch_aggregate(
-        docs, [], [SketchSpec("lossy", "lossy", "words", {"epsilon": eps})], fanout=8
+        docs, [], [SketchSpec("lossy", "lossy", "words", {"epsilon": eps})], fanout="auto"
     )
     lc = LossyCounter.from_bytes(bytes(merged.select("state").collect()[0][0]))
     items, f = lc.query(1.0 / inv_theta)
@@ -906,7 +963,7 @@ def q_spacesaving_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, inv_phi = 999, 50  # err <= n/1000, phi = 0.02
     docs = _words(_t(spark, sf_dir, "documents"))
     merged = sketch_aggregate(
-        docs, [], [SketchSpec("ss", "spacesaving", "words", {"m": m})], fanout=8
+        docs, [], [SketchSpec("ss", "spacesaving", "words", {"m": m})], fanout="auto"
     )
     ss = SpaceSaving.from_bytes(bytes(merged.select("state").collect()[0][0]))
     items, f = ss.query(1.0 / inv_phi)
@@ -949,6 +1006,8 @@ def q_topk_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         [],
         [SketchSpec("tk", "topk", "words", {"k": k, "w": w, "d": d, "seed": SEED})],
+        # topk's candidate-heap retention is merge-GROUPING-sensitive:
+        # keep the r5 tree shape so the emitted top-k stays bit-stable
         fanout=8,
     )
     tk = TopK.from_bytes(bytes(merged.select("state").collect()[0][0]))
@@ -1000,12 +1059,8 @@ def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, d = 8192, 5
     docs = _words(_t(spark, sf_dir, "documents"))
     merged = sketch_aggregate(
-        docs, ["source"], [SketchSpec("ams", "ams", "words", {"w": w, "d": d, "seed": SEED})], fanout=8
+        docs, ["source"], [SketchSpec("ams", "ams", "words", {"w": w, "d": d, "seed": SEED})], fanout="auto"
     )
-    states = {
-        r["source"]: CountSketch.from_bytes(bytes(r["state"]))
-        for r in merged.select("source", "state").collect()
-    }
     from sketchlib import caches
 
     # two consumers below (per-source rollup, top-3 window) — persist so
@@ -1017,15 +1072,19 @@ def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(),
         owner="entry.topk_words",
     )
-    stats = {
-        r["source"]: (int(r["n_words"]), int(r["f2"]))
-        for r in counts.groupBy("source")
+    # the sketch build and the exact-counts pass are independent full
+    # passes over the corpus: overlap them (guide §2.6)
+    state_rows, stat_rows = _par(
+        lambda: merged.select("source", "state").collect(),
+        lambda: counts.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum(F.col("cnt") * F.col("cnt")).alias("f2"),
         )
-        .collect()
-    }
+        .collect(),
+    )
+    states = {r["source"]: CountSketch.from_bytes(bytes(r["state"])) for r in state_rows}
+    stats = {r["source"]: (int(r["n_words"]), int(r["f2"])) for r in stat_rows}
     rn = F.row_number().over(
         _W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
     )
@@ -1087,6 +1146,7 @@ def q_topk_resolved_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         words,
         [],
         [SketchSpec("tk", "topk", "word", {"k": n_hot, "w": w, "d": d, "seed": SEED})],
+        # topk retention is merge-grouping-sensitive: keep the r5 tree
         fanout=8,
     )
     tk = TopK.from_bytes(bytes(merged.select("state").collect()[0][0]))
@@ -1219,7 +1279,7 @@ def q_bloom_len_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         [SketchSpec("b", "bloom", "user_id", {"m": 1 << 20, "k": 7, "seed": SEED})],
-        fanout=8,
+        fanout="auto",
     )
     est = merged.withColumn("est", bloom_len("state")).select("event_type", "est")
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("distinct_users"))
@@ -1240,7 +1300,7 @@ def q_tdigest_cdf_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-valued l_quantity."""
     li = _t(spark, sf_dir, "lineitem")
     merged = sketch_aggregate(
-        li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout=8
+        li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout="auto"
     )
     rows = merged.select("l_returnflag", "state").collect()
     probes = (10.5, 25.5, 40.5)
@@ -1391,39 +1451,52 @@ def q_streaming_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     specs = [SketchSpec("hll", "hll", "user_id", {"p": HLL_P, "seed": SEED})]
     root = tempfile.mkdtemp(prefix="sketchlib_stream_q_")
     try:
-        src = os.path.join(root, "src")
-        ev.repartition(4).write.parquet(src)
+        # the 4-file micro-batch source is deterministic per events
+        # table — cache it (content-fingerprinted, atomic publish; same
+        # pattern as the near-dup stream source) instead of rewriting
+        # the table every invocation
+        src = _cached_stream_src(
+            "eqstream_src",
+            sf_dir,
+            "events.parquet",
+            lambda build: ev.repartition(4).write.mode("overwrite").parquet(build),
+        )
         batch_df = spark.read.parquet(src)
         stream_df = (
             spark.readStream.schema(batch_df.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            sketch_stream_writer(
-                stream_df,
-                ["event_type"],
-                specs,
-                os.path.join(root, "state"),
-                os.path.join(root, "ckpt"),
+
+        def _streamed():
+            q = (
+                sketch_stream_writer(
+                    stream_df,
+                    ["event_type"],
+                    specs,
+                    os.path.join(root, "state"),
+                    os.path.join(root, "ckpt"),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
+            q.awaitTermination(600)
+            return {
+                r["event_type"]: bytes(r["state"])
+                for r in current_states(
+                    spark, os.path.join(root, "state"), ["event_type"], fanout=None
+                ).collect()
+            }
+
+        # the stream, the one-shot batch build, and the exact counts
+        # are independent: overlap them (guide §2.6)
+        streamed, batched_rows, exact_rows = _par(
+            _streamed,
+            lambda: sketch_aggregate(batch_df, ["event_type"], specs, fanout=None).collect(),
+            lambda: ev.groupBy("event_type").agg(F.countDistinct("user_id")).collect(),
         )
-        q.awaitTermination(600)
-        streamed = {
-            r["event_type"]: bytes(r["state"])
-            for r in current_states(spark, os.path.join(root, "state"), ["event_type"], fanout=4)
-            .collect()
-        }
-        batched = {
-            r["event_type"]: bytes(r["state"])
-            for r in sketch_aggregate(batch_df, ["event_type"], specs, fanout=4).collect()
-        }
-        exact = {
-            r[0]: int(r[1])
-            for r in ev.groupBy("event_type").agg(F.countDistinct("user_id")).collect()
-        }
+        batched = {r["event_type"]: bytes(r["state"]) for r in batched_rows}
+        exact = {r[0]: int(r[1]) for r in exact_rows}
         rows = []
         for et in sorted(exact):
             est = HLL.from_bytes(streamed[et]).count() if et in streamed else -1
@@ -1461,42 +1534,48 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineage fingerprint from the INPUT itself (io.snapshot_id:
         # Iceberg snapshot when cataloged, file-listing hash for parquet)
         fp = snapshot_id(spark, os.path.join(sf_dir, "events.parquet"))
-        ref = {
-            r["event_type"]: bytes(r["state"])
-            for r in merge_partials(
-                build_partials(ev, ["event_type"], spec), ["event_type"], 4
-            ).collect()
-        }
-        half = (
-            build_partials(ev, ["event_type"], spec)
-            .filter(F.col("part_id") < 3)
-            .withColumn("fingerprint", F.lit(fp))
-            .withColumn("updated_at", F.current_timestamp())
-        )
-        half.write.mode("overwrite").parquet(ckpt)
-        resumed = {
-            r["event_type"]: bytes(r["state"])
-            for r in checkpointed_sketch_aggregate(
-                ev, ["event_type"], spec, ckpt, fp, fanout=4
-            ).collect()
-        }
-        summary = lineage_summary(spark, ckpt).collect()[0]
-        lineage_ok = bool(summary["partitions_done"] == 8)
-        dup_parts = (
-            spark.read.parquet(ckpt)
-            .groupBy("event_type", "sketch", "part_id")
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        lineage_ok = lineage_ok and dup_parts == 0
-        exact = {
-            r[0]: int(r[1])
-            for r in _t(spark, sf_dir, "events")
+
+        def _resume_chain():
+            # write-half-checkpoint → resume → lineage checks: a strict
+            # sequential chain, but independent of ref/exact below
+            half = (
+                build_partials(ev, ["event_type"], spec)
+                .filter(F.col("part_id") < 3)
+                .withColumn("fingerprint", F.lit(fp))
+                .withColumn("updated_at", F.current_timestamp())
+            )
+            half.write.mode("overwrite").parquet(ckpt)
+            resumed = {
+                r["event_type"]: bytes(r["state"])
+                for r in checkpointed_sketch_aggregate(
+                    ev, ["event_type"], spec, ckpt, fp, fanout=None
+                ).collect()
+            }
+            summary = lineage_summary(spark, ckpt).collect()[0]
+            ok = bool(summary["partitions_done"] == 8)
+            dup_parts = (
+                spark.read.parquet(ckpt)
+                .groupBy("event_type", "sketch", "part_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            return resumed, ok and dup_parts == 0
+
+        # the reference build, the resume chain, and the exact counts
+        # are three independent job chains: overlap them (guide §2.6)
+        ref_rows, (resumed, lineage_ok), exact_rows = _par(
+            lambda: merge_partials(
+                build_partials(ev, ["event_type"], spec), ["event_type"], None
+            ).collect(),
+            _resume_chain,
+            lambda: _t(spark, sf_dir, "events")
             .groupBy("event_type")
             .agg(F.countDistinct("user_id"))
-            .collect()
-        }
+            .collect(),
+        )
+        ref = {r["event_type"]: bytes(r["state"]) for r in ref_rows}
+        exact = {r[0]: int(r[1]) for r in exact_rows}
         rows = []
         for et in sorted(exact):
             est = HLL.from_bytes(resumed[et]).count() if et in resumed else -1
@@ -1581,15 +1660,15 @@ def q_rollup_merge_up(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _words(_t(spark, sf_dir, "documents"))
     spec = [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})]
-    fine = sketch_aggregate(docs, ["source", "lang"], spec, fanout=8)
-    rolled = {
-        r["source"]: bytes(r["state"])
-        for r in rollup_states(fine, ["source"]).collect()
-    }
-    direct = {
-        r["source"]: bytes(r["state"])
-        for r in sketch_aggregate(docs, ["source"], spec, fanout=8).collect()
-    }
+    fine = sketch_aggregate(docs, ["source", "lang"], spec, fanout="auto")
+    # the fine+rollup build and the direct per-source build are
+    # independent full passes over docs: overlap them (guide §2.6)
+    rolled_rows, direct_rows = _par(
+        lambda: rollup_states(fine, ["source"]).collect(),
+        lambda: sketch_aggregate(docs, ["source"], spec, fanout="auto").collect(),
+    )
+    rolled = {r["source"]: bytes(r["state"]) for r in rolled_rows}
+    direct = {r["source"]: bytes(r["state"]) for r in direct_rows}
     exact = (
         docs.select("source", F.explode("words").alias("w"))
         .groupBy("source")
@@ -1986,6 +2065,20 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     name = f"sess_sink_{_uuid.uuid4().hex[:12]}"
+    from sketchlib import caches as _caches
+
+    # exact per-session truth, batch-side with the NATIVE sessionizer —
+    # materialized concurrently with the stream below (guide §2.6)
+    exact = _caches.register(
+        ev.groupBy("event_type", F.session_window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.countDistinct("user_id").alias("distinct_exact"),
+        )
+        .select("event_type", F.col("w.start").alias("session_start"), "n_exact", "distinct_exact")
+        .persist(),
+        owner="entry.streaming_sessions",
+    )
     with _stream_shuffle(spark, 8):
         q = (
             out.writeStream.format("memory")
@@ -1994,19 +2087,14 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            # the exact side runs while the stream chews its micro-batches
+            exact.count()
+        finally:
+            q.processAllAvailable()
+            q.stop()
     streamed = spark.table(name).filter(F.col("event_type") != "__sentinel__").persist()
     streamed.count()
-    # exact per-session truth, batch-side with the NATIVE sessionizer
-    exact = (
-        ev.groupBy("event_type", F.session_window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.countDistinct("user_id").alias("distinct_exact"),
-        )
-        .select("event_type", F.col("w.start").alias("session_start"), "n_exact", "distinct_exact")
-    )
     sigma = 1.04 / math.sqrt(1 << HLL_P)
     joined = (
         streamed.join(exact, ["event_type", "session_start"], "full")
@@ -2082,6 +2170,22 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="1 day",
     )
     sink = f"winsink_{abs(hash(sf_dir)) % 10**8}"
+    from sketchlib import caches as _caches
+
+    # the exact side is independent of the stream: materialize it
+    # concurrently with the micro-batches (guide §2.6)
+    exact = _caches.register(
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / week) * week).cast("long").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .persist(),
+        owner="entry.windowed_stream_watermark",
+    )
     with _stream_shuffle(spark, 8):
         q = (
             out.writeStream.format("memory")
@@ -2091,6 +2195,7 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
+            exact.count()  # runs while the stream processes
             q.processAllAvailable()
         finally:
             q.stop()
@@ -2106,13 +2211,6 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state",
             "n_updates",
         )
-    )
-    exact = ev.groupBy(
-        (F.floor(F.unix_timestamp("ts") / week) * week).cast("long").alias("win_start"),
-        "event_type",
-    ).agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
     )
     bound = 4.0 * HLL(13).relative_error()
     est = hll_count(F.col("state")).alias("est")
@@ -2193,11 +2291,17 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     band: sizes are small ints with heavy ties, so the correct
     assertion is rank(<v) - eps <= q <= rank(<=v) + eps, not
     |rank(<=v) - q| <= eps."""
+    from sketchlib import caches as _caches
+
     ev = _t(spark, sf_dir, "events")
-    sess = (
+    # three consumers (KLL build, rank check, per-user output): persist
+    # so the sessionization shuffle runs once, not three times
+    sess = _caches.register(
         ev.groupBy("user_id", F.session_window("ts", "6 hours"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", "n_events")
+        .persist(),
+        owner="entry.session_windows",
     )
     per_user = sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -2208,7 +2312,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.lit(1).alias("g"), F.col("n_events").cast("double").alias("sz")),
         ["g"],
         [SketchSpec("kll", "kll", "sz", {"k": 200, "seed": SEED})],
-        fanout=8,
+        fanout="auto",
     )
     state = bytes(merged.select("state").collect()[0][0])
     q50, q90 = KLL.from_bytes(state).quantiles([0.5, 0.9]).tolist()
@@ -2325,7 +2429,7 @@ def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _words(_t(spark, sf_dir, "documents"))
     merged = sketch_aggregate(
-        docs, ["source"], [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})], fanout=8
+        docs, ["source"], [SketchSpec("hll", "hll", "words", {"p": HLL_P, "seed": SEED})], fanout="auto"
     )
     st = merged.select("source", "state")
     a = st.select(F.col("source").alias("source_a"), F.col("state").alias("state_a"))
@@ -2390,7 +2494,7 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         ["source"],
         [SketchSpec("kmv", "kmv", "words", {"k": KMV_K, "seed": SEED})],
-        fanout=8,
+        fanout="auto",
     )
     st = merged.select("source", "state")
     a = st.select(F.col("source").alias("source_a"), F.col("state").alias("state_a"))
@@ -2645,7 +2749,7 @@ def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     merged = sketch_aggregate(
-        emb, ["label"], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": 64})], fanout=8
+        emb, ["label"], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": 64})], fanout="auto"
     )
     states = {
         r["label"]: FrequentDirections.from_bytes(bytes(r["state"]))
@@ -2747,7 +2851,7 @@ def q_fd_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _yj).alias("vec"),
     )
     merged = sketch_aggregate(
-        rows, [], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": dim})], fanout=8
+        rows, [], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": dim})], fanout="auto"
     )
     fd = FrequentDirections.from_bytes(
         bytes(merged.select("state").collect()[0][0])

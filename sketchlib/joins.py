@@ -35,7 +35,7 @@ def _small_side_bloom(small: DataFrame, small_key: str, m: int, k: int, seed: in
         small.select(small_key),
         [],
         [SketchSpec("bloom", "bloom", small_key, {"m": m, "k": k, "seed": seed})],
-        fanout=8,
+        fanout="auto",
     )
     return bytes(merged.select("state").collect()[0][0])
 

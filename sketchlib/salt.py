@@ -98,7 +98,7 @@ def skew_stats(df: DataFrame, key_col: str,
             SketchSpec("ams", "ams", key_col, {"w": w, "d": d, "seed": DEFAULT_SEED}),
             SketchSpec("hll", "hll", key_col, {"p": 14, "seed": DEFAULT_SEED}),
         ],
-        fanout=32,
+        fanout="auto",
     )
     rows = {r["sketch"]: r for r in merged.collect()}
     if "ams" not in rows:

@@ -381,7 +381,7 @@ def decontaminate_ids(
         bgrams.select(F.xxhash64("g").alias("h")),
         [],
         [SketchSpec("b", "bloom", "h", {"m": m, "k": k, "seed": seed})],
-        fanout=8,
+        fanout="auto",
     )
     blob = bytes(merged.select("state").collect()[0][0])
     member = membership_udf(spark, {"_": blob})
