@@ -620,6 +620,11 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs (J >= 0.5, doc_a < doc_b)
     over a (doc_id, words) frame — the SQL-expressible exact path."""
+    # NOTE (r6): do NOT persist `sh` — its three consumers (sizes, both
+    # self-join sides) are identical subtrees in ONE action, which
+    # Catalyst already shares via ReusedExchange; a persist adds a
+    # materialization barrier + cache write of the exploded rows
+    # (measured 1.73 -> 2.25 s on ngram_jaccard_neardup)
     sh = docs.select(
         F.col("doc_id"),
         F.explode(
@@ -2079,7 +2084,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(),
         owner="entry.streaming_sessions",
     )
-    with _stream_shuffle(spark, 8):
+    # state width ~ key cardinality (5 event types at every SF), not cores:
+    # measured 6.15 -> 4.95 s for the 6-trigger run at width 8 -> 4
+    with _stream_shuffle(spark, 4):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -2186,7 +2193,9 @@ def q_windowed_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(),
         owner="entry.windowed_stream_watermark",
     )
-    with _stream_shuffle(spark, 8):
+    # state width ~ key cardinality (5 event types at every SF), not cores:
+    # measured 6.15 -> 4.95 s for the 6-trigger run at width 8 -> 4
+    with _stream_shuffle(spark, 4):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)

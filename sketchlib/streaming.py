@@ -506,6 +506,14 @@ def neardup_stream_writer(
         spark = batch_df.sparkSession
         _enable_batch_aqe(spark, batch_shuffle_partitions, batch_adaptive)
         bid = int(batch_id)
+        # fan the trigger's files out to the batch body's width BEFORE
+        # the shingle+signature Arrow pass: a 1-file trigger otherwise
+        # runs the heaviest per-batch compute on ONE task (the file
+        # source gives one scan partition per ≤maxPartitionBytes file,
+        # guide §2.5 input skew; measured in the per-batch timing marks)
+        width = int(batch_shuffle_partitions or spark.sparkContext.defaultParallelism)
+        if batch_df.rdd.getNumPartitions() < width:
+            batch_df = batch_df.repartition(width)
         shingles = shingle_hash_frame(
             batch_df, id_col, words_col, shingle_n
         ).persist()
