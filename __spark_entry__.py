@@ -544,6 +544,17 @@ def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (et, *(DDSketch.from_bytes(bytes(b)).quantiles([0.5, 0.95]).tolist()))
         for et, b in rows
     ]
+    # ADVICE r5: the certificate window below assumes POSITIVE quantile
+    # estimates (for a negative rank element the relative-error interval
+    # flips); events.value is strictly positive today — assert it so a
+    # future data change surfaces as a clear precondition failure, not a
+    # spurious guarantee violation
+    for et, q50, q95 in qs:
+        if not (q50 > 0.0 and q95 > 0.0):
+            raise AssertionError(
+                f"ddsketch certificate precondition: non-positive quantile "
+                f"estimate for {et!r} (q50={q50}, q95={q95})"
+            )
     qdf = spark.createDataFrame(qs, "event_type string, q50 double, q95 double")
     checks = []
     for q, col in ((0.5, "q50"), (0.95, "q95")):
@@ -2992,29 +3003,29 @@ _DECLARED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ALL queries every round regardless; this rotation is about the
 # driver's independent record.)
 _VERIFIED_ROUND: dict[str, int] = {
-    "direct_feed_build": 0,  # new in r5, never inside the window
-    "spacesaving_heavy_hitters": 0,  # new in r5, never inside the window
-    "ddsketch_value_quantiles": 0,  # new in r5, never inside the window
-    "kmv_source_overlap": 0,  # registered r4, never inside the window
-    # last driver hash-match: round 2
-    "checkpoint_resume": 2,
-    "streaming_neardup": 2,
-    "dup_clusters": 2,
-    "sql_interface": 2,
-    "session_windows": 2,
-    "tdigest_weighted_price": 2,
-    "pq_topk_recall": 2,
-    "bloom_antijoin_blocklist": 2,
-    "curation_pipeline": 2,
-    "hll_set_algebra": 2,
-    "lang_id_roundtrip": 2,
-    "repetition_stats": 2,
-    # last driver hash-match: round 3
-    "winnow_guarantee": 3,
-    "simhash_guarantee": 3,
-    # everything else: hash-matched in round 4 (CORRECTNESS_r04.json)
+    # last driver hash-match: round 4 (CORRECTNESS_r04.json — these 18
+    # rotated OUT of round 5's 50-row window, so they lead round 6's)
+    "bloom_len_estimate": 4,
+    "ctor_goldens": 4,
+    "cuckoo_filter_ops": 4,
+    "decontamination": 4,
+    "ivf_topk_recall": 4,
+    "media_decode": 4,
+    "media_pipeline": 4,
+    "pii_scrub": 4,
+    "quality_rules": 4,
+    "quotient_filter_ops": 4,
+    "rollup_merge_up": 4,
+    "salted_skew_distinct_users": 4,
+    "semantic_dedup_recall": 4,
+    "stratified_sample": 4,
+    "streaming_sessions": 4,
+    "streaming_state_equivalence": 4,
+    "tdigest_cdf_quantity": 4,
+    "windowed_stream_watermark": 4,
+    # everything else: hash-matched in round 5 (CORRECTNESS_r05.json)
 }
-_LATEST_ROUND = 4  # default for entries not listed above
+_LATEST_ROUND = 5  # default for entries not listed above
 
 _DECL_POS = {name: i for i, name in enumerate(_DECLARED)}
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

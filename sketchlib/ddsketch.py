@@ -82,7 +82,17 @@ class DDSketch:
         # i = ceil(log_gamma(x)); round-trip near-exact powers through a
         # half-ulp nudge is unnecessary: any consistent mapping keeps
         # the (gamma^(i-1), gamma^i] containment within float error
-        return np.ceil(np.log(mag) / self._lg).astype(np.int32)
+        idx = np.ceil(np.log(mag) / self._lg)
+        # ADVICE r5: a direct astype(int32) wraps silently for alpha
+        # below ~2e-7 (one large-magnitude value → index beyond int32,
+        # a WRONG bucket the max_buckets guard never sees); range-check
+        # in float before narrowing
+        if idx.size and (np.abs(idx) >= 2**31).any():
+            raise OverflowError(
+                "DDSketch bucket index exceeds int32 range: alpha too small "
+                "for this magnitude span"
+            )
+        return idx.astype(np.int32)
 
     @staticmethod
     def _absorb(

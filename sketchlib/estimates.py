@@ -375,9 +375,19 @@ def register_sql_functions(spark) -> None:
 
     @F.pandas_udf(DoubleType())
     def _tdigest_cdf(state: pd.Series, x: pd.Series) -> pd.Series:
-        return pd.Series(
-            [float(load_state(b).cdf(float(xx))) for b, xx in zip(state, x)]
-        )
+        def one(b, xx):
+            k = load_state(b)
+            if not hasattr(k, "cdf"):
+                # ADVICE r5: the kind-generic sketch_cdf alias invites
+                # use on KLL states, which have no cdf — fail with the
+                # kind named instead of an opaque executor AttributeError
+                raise TypeError(
+                    f"sketch_cdf: state kind {type(k).__name__!r} has no cdf "
+                    "(supported: tdigest, ddsketch)"
+                )
+            return float(k.cdf(float(xx)))
+
+        return pd.Series([one(b, xx) for b, xx in zip(state, x)])
 
     spark.udf.register("tdigest_quantile", _tdigest_quantile)
     spark.udf.register("tdigest_cdf", _tdigest_cdf)
