@@ -308,17 +308,26 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sketch_aggregate(
         docs, [], [SketchSpec("cms", "cms", "words", {"w": w, "d": d, "seed": SEED})], fanout="auto"
     )
-    blob = merged.select("state").collect()[0][0]
-    sketch = CountMinSketch.from_bytes(bytes(blob))
-    eps_n = math.e / w * sketch.total()
-    freq = point_query_udf(spark, {"all": bytes(blob)})
-    exact = (
+    from sketchlib import caches as _caches
+
+    exact = _caches.register(
         docs.select(F.explode("words").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(50)
+        .persist(),
+        owner="entry.cms_word_freq",
     )
+    # sketch build and exact top-50 are independent passes: overlap them
+    (blob_row,), _n = _par(
+        lambda: merged.select("state").collect(),
+        lambda: exact.count(),
+    )
+    blob = blob_row[0]
+    sketch = CountMinSketch.from_bytes(bytes(blob))
+    eps_n = math.e / w * sketch.total()
+    freq = point_query_udf(spark, {"all": bytes(blob)})
     # the sketch consumed xxhash64(word) (JVM-side pre-hash): query the same way
     est = exact.withColumn("est", freq(F.lit("all"), F.xxhash64("word")))
     return est.select(
@@ -935,7 +944,22 @@ def q_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sketch_aggregate(
         docs, [], [SketchSpec("lossy", "lossy", "words", {"epsilon": eps})], fanout="auto"
     )
-    lc = LossyCounter.from_bytes(bytes(merged.select("state").collect()[0][0]))
+    from sketchlib import caches as _caches
+
+    # the exact word counts are independent of the sketch; only the
+    # final theta filter needs its n — overlap the two passes (§2.6)
+    counts = _caches.register(
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(),
+        owner="entry.lossy_heavy_hitters",
+    )
+    (blob_row,), _n = _par(
+        lambda: merged.select("state").collect(),
+        lambda: counts.count(),
+    )
+    lc = LossyCounter.from_bytes(bytes(blob_row[0]))
     items, f = lc.query(1.0 / inv_theta)
     n = int(lc.n)
     slack = int(math.ceil(eps * n))
@@ -943,12 +967,7 @@ def q_lossy_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(zip(items.tolist(), f.astype("int64").tolist())) or [(None, None)],
         "item long, f long",
     ).filter(F.col("item").isNotNull())
-    exact = (
-        docs.select(F.explode("words").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * inv_theta >= F.lit(n))  # exact integer arithmetic
-    )
+    exact = counts.filter(F.col("cnt") * inv_theta >= F.lit(n))  # exact integer arithmetic
     joined = exact.withColumn("h", F.xxhash64("word")).join(
         F.broadcast(fdf), F.col("h") == F.col("item"), "left"
     )
@@ -981,7 +1000,20 @@ def q_spacesaving_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sketch_aggregate(
         docs, [], [SketchSpec("ss", "spacesaving", "words", {"m": m})], fanout="auto"
     )
-    ss = SpaceSaving.from_bytes(bytes(merged.select("state").collect()[0][0]))
+    from sketchlib import caches as _caches
+
+    counts = _caches.register(
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(),
+        owner="entry.spacesaving_heavy_hitters",
+    )
+    (blob_row,), _n = _par(  # overlap sketch build with exact counts
+        lambda: merged.select("state").collect(),
+        lambda: counts.count(),
+    )
+    ss = SpaceSaving.from_bytes(bytes(blob_row[0]))
     items, f = ss.query(1.0 / inv_phi)
     n, err = int(ss.n), int(ss.err)
     bound_ok = err * (m + 1) <= n
@@ -989,12 +1021,7 @@ def q_spacesaving_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(zip(items.tolist(), f.astype("int64").tolist())) or [(None, None)],
         "item long, f long",
     ).filter(F.col("item").isNotNull())
-    exact = (
-        docs.select(F.explode("words").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * inv_phi >= F.lit(n))  # exact integer arithmetic
-    )
+    exact = counts.filter(F.col("cnt") * inv_phi >= F.lit(n))  # exact integer arithmetic
     joined = exact.withColumn("h", F.xxhash64("word")).join(
         F.broadcast(fdf), F.col("h") == F.col("item"), "left"
     )
@@ -1318,19 +1345,31 @@ def q_tdigest_cdf_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sketch_aggregate(
         li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout="auto"
     )
-    rows = merged.select("l_returnflag", "state").collect()
+    from sketchlib import caches as _caches
+
+    exact = _caches.register(
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum((F.col("l_quantity") <= 10.5).cast("long")) / F.count(F.lit(1))).alias("r10"),
+            (F.sum((F.col("l_quantity") <= 25.5).cast("long")) / F.count(F.lit(1))).alias("r25"),
+            (F.sum((F.col("l_quantity") <= 40.5).cast("long")) / F.count(F.lit(1))).alias("r40"),
+        )
+        .persist(),
+        owner="entry.tdigest_cdf_quantity",
+    )
+    # digest build and exact rank fractions are independent passes over
+    # lineitem: overlap them (guide §2.6)
+    rows, _n = _par(
+        lambda: merged.select("l_returnflag", "state").collect(),
+        lambda: exact.count(),
+    )
     probes = (10.5, 25.5, 40.5)
     cdf_rows = []
     for flag, blob in rows:
         td = TDigest.from_bytes(bytes(blob))
         cdf_rows.append((flag, *(float(td.cdf(x)) for x in probes)))
     cdf_df = spark.createDataFrame(cdf_rows, "l_returnflag string, c10 double, c25 double, c40 double")
-    exact = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.sum((F.col("l_quantity") <= 10.5).cast("long")) / F.count(F.lit(1))).alias("r10"),
-        (F.sum((F.col("l_quantity") <= 25.5).cast("long")) / F.count(F.lit(1))).alias("r25"),
-        (F.sum((F.col("l_quantity") <= 40.5).cast("long")) / F.count(F.lit(1))).alias("r40"),
-    )
     return exact.join(F.broadcast(cdf_df), "l_returnflag").select(
         "l_returnflag",
         "n_rows",
@@ -2771,10 +2810,6 @@ def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sketch_aggregate(
         emb, ["label"], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": 64})], fanout="auto"
     )
-    states = {
-        r["label"]: FrequentDirections.from_bytes(bytes(r["state"]))
-        for r in merged.select("label", "state").collect()
-    }
 
     def partial_grams(batches):
         import pyarrow as _pa
@@ -2798,9 +2833,18 @@ def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["label", "gram", "n"],
             )
 
+    # FD build and exact partial Grams are independent passes over the
+    # embeddings: overlap them (guide §2.6)
+    state_rows, gram_rows = _par(
+        lambda: merged.select("label", "state").collect(),
+        lambda: emb.mapInArrow(partial_grams, "label long, gram binary, n long").collect(),
+    )
+    states = {
+        r["label"]: FrequentDirections.from_bytes(bytes(r["state"])) for r in state_rows
+    }
     exact: dict = {}
     counts: dict = {}
-    for r in emb.mapInArrow(partial_grams, "label long, gram binary, n long").collect():
+    for r in gram_rows:
         g = _np.frombuffer(bytes(r["gram"]), dtype=_np.float64).reshape(64, 64)
         exact[r["label"]] = exact.get(r["label"], 0) + g
         counts[r["label"]] = counts.get(r["label"], 0) + r["n"]
@@ -2873,9 +2917,6 @@ def q_fd_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sketch_aggregate(
         rows, [], [SketchSpec("fd", "fd", "vec", {"l": 24, "dim": dim})], fanout="auto"
     )
-    fd = FrequentDirections.from_bytes(
-        bytes(merged.select("state").collect()[0][0])
-    )
 
     def partial_grams(batches):
         import pyarrow as _pa
@@ -2891,9 +2932,16 @@ def q_fd_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["gram", "n"],
             )
 
+    # FD build and exact partial Grams are independent passes over the
+    # planted matrix: overlap them (guide §2.6)
+    state_rows, gram_rows = _par(
+        lambda: merged.select("state").collect(),
+        lambda: rows.select("vec").mapInArrow(partial_grams, "gram binary, n long").collect(),
+    )
+    fd = FrequentDirections.from_bytes(bytes(state_rows[0][0]))
     G = _np.zeros((dim, dim))
     n_vecs = 0
-    for r in rows.select("vec").mapInArrow(partial_grams, "gram binary, n long").collect():
+    for r in gram_rows:
         G += _np.frombuffer(bytes(r["gram"]), dtype=_np.float64).reshape(dim, dim)
         n_vecs += int(r["n"])
     evals, evecs = _np.linalg.eigh(G)  # ascending
