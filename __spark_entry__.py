@@ -2017,6 +2017,9 @@ def _cached_stream_src(tag: str, sf_dir: str, table: str, build_into) -> str:
     return src
 
 
+_EVENTS_MAX_TS: dict = {}  # stream-src dir (content-keyed) -> max event ts
+
+
 def _events_stream_src(spark: SparkSession, sf_dir: str, ev) -> str:
     """Shared micro-batch source for event-time streaming queries:
     the events table sorted into 4 TIME-CONTIGUOUS segment files (real
@@ -2054,7 +2057,13 @@ def _events_stream_src(spark: SparkSession, sf_dir: str, ev) -> str:
                 os.utime(seg_path, (1_700_000_000 + i * 10,) * 2)
 
     src = _cached_stream_src("winstream_src", sf_dir, "events.parquet", build_segments)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # max_ts is a pure function of the (content-fingerprinted) source
+    # dir: memoize it so repeated invocations skip the scan job
+    if src in _EVENTS_MAX_TS:
+        max_ts = _EVENTS_MAX_TS[src]
+    else:
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        _EVENTS_MAX_TS[src] = max_ts
     # sentinels rewritten each run (deterministic content); their fresh
     # mtimes are always newer than the cached segments' pinned ones
     for j, days in enumerate((40, 80)):
