@@ -795,16 +795,20 @@ def sketch_aggregate_direct(
     kinds)."""
     files = _resolve_split_files(source)
     premerge = not skip_parts
+    if tasks is None:
+        # one wave of parallelism-sized tasks measures ~0.5 s faster on
+        # a QUIET host (fewer worker spin-ups, 2× premerge fold) but has
+        # zero straggler slack — under exogenous load bursts the leg
+        # swung 3.9–9.0 s vs a steady ~3.6 s at 2×. Keep 2×: scheduling
+        # freedom beats the quiet-host win on any shared machine.
+        tasks = 2 * spark.sparkContext.defaultParallelism
+    tasks = max(1, min(len(files), tasks))
     partials = build_partials_direct(
         spark, files, group_cols, specs, skip_parts=skip_parts, tasks=tasks,
         premerge=premerge,
     )
     if fanout == "auto":
-        n = len(files)
-        if premerge:
-            t = tasks if tasks is not None else 2 * spark.sparkContext.defaultParallelism
-            n = max(1, min(n, t))
-        fanout = auto_fanout(n)
+        fanout = auto_fanout(min(len(files), tasks) if premerge else len(files))
     return merge_partials(partials, group_cols, fanout)
 
 
