@@ -374,20 +374,22 @@ def q_bloom_antijoin_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tdigest_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest per l_returnflag: exact moments from the digest (count
     exact, min/max exact — tdigest.rs:1355-1361) + quantile tolerance."""
-    li = _t(spark, sf_dir, "lineitem")
+    from sketchlib import caches as _caches
+
+    # one narrow scan shared by the two overlapped jobs below (block-
+    # level cache locking computes each partition once)
+    li = _caches.register(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").persist(),
+        owner="entry.tdigest_quantity_stats",
+    )
     merged = sketch_aggregate(
         li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout="auto"
     )
-    from sketchlib import caches as _caches
-
-    exact = _caches.register(
-        li.groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_quantity, 0.5)").alias("exact_q50"))
-        .persist(),
-        owner="entry.tdigest_quantity_stats",
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_q50")
     )
-    # digest build and exact percentile are independent passes over
-    # lineitem: overlap them (guide §2.6)
+    # digest build and exact percentile are independent jobs over the
+    # shared cached scan: overlap them (guide §2.6)
     rows, _n = _par(
         lambda: merged.select("l_returnflag", "state").collect(),
         lambda: exact.count(),
@@ -467,7 +469,17 @@ def q_tdigest_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     of integers are exact in any order); the weighted median is checked
     by its exact weighted rank: sum of weight at values <= q50 must
     bracket half the total weight within ±5%."""
-    li = _t(spark, sf_dir, "lineitem")
+    from sketchlib import caches as _caches
+
+    # the build and the rank check are SEPARATE actions over the same 3
+    # columns: persist the narrow projection so the scan + the _spread
+    # repartition shuffle run once instead of twice
+    li = _caches.register(
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .persist(),
+        owner="entry.tdigest_weighted_price",
+    )
     merged = sketch_aggregate(
         li,
         ["l_returnflag"],
@@ -504,7 +516,14 @@ def q_tdigest_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kll_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantiles per event_type, rank-error-checked: the exact rank
     of the estimated quantile must be within ±0.05 of the target."""
-    ev = _t(spark, sf_dir, "events")
+    from sketchlib import caches as _caches
+
+    # build and rank check are separate actions over the same 2 columns:
+    # persist the narrow projection so scan + _spread shuffle run once
+    ev = _caches.register(
+        _t(spark, sf_dir, "events").select("event_type", "value").persist(),
+        owner="entry.kll_event_value_quantiles",
+    )
     merged = sketch_aggregate(
         ev, ["event_type"], [SketchSpec("kll", "kll", "value", {"k": 200, "seed": SEED})], fanout="auto"
     )
@@ -541,7 +560,12 @@ def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     alpha = 0.01
     slop = 1.0 + 1e-9  # float-division guard on the window edges
-    ev = _t(spark, sf_dir, "events")
+    from sketchlib import caches as _caches
+
+    ev = _caches.register(
+        _t(spark, sf_dir, "events").select("event_type", "value").persist(),
+        owner="entry.ddsketch_value_quantiles",
+    )
     merged = sketch_aggregate(
         ev,
         ["event_type"],
@@ -1341,25 +1365,23 @@ def q_tdigest_cdf_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation) per l_returnflag at fixed probe points vs the exact
     rank fraction; half-integer probes dodge tie ambiguity on the
     integer-valued l_quantity."""
-    li = _t(spark, sf_dir, "lineitem")
+    from sketchlib import caches as _caches
+
+    li = _caches.register(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").persist(),
+        owner="entry.tdigest_cdf_quantity",
+    )
     merged = sketch_aggregate(
         li, ["l_returnflag"], [SketchSpec("td", "tdigest", "l_quantity", {"delta": 200.0})], fanout="auto"
     )
-    from sketchlib import caches as _caches
-
-    exact = _caches.register(
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.sum((F.col("l_quantity") <= 10.5).cast("long")) / F.count(F.lit(1))).alias("r10"),
-            (F.sum((F.col("l_quantity") <= 25.5).cast("long")) / F.count(F.lit(1))).alias("r25"),
-            (F.sum((F.col("l_quantity") <= 40.5).cast("long")) / F.count(F.lit(1))).alias("r40"),
-        )
-        .persist(),
-        owner="entry.tdigest_cdf_quantity",
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum((F.col("l_quantity") <= 10.5).cast("long")) / F.count(F.lit(1))).alias("r10"),
+        (F.sum((F.col("l_quantity") <= 25.5).cast("long")) / F.count(F.lit(1))).alias("r25"),
+        (F.sum((F.col("l_quantity") <= 40.5).cast("long")) / F.count(F.lit(1))).alias("r40"),
     )
-    # digest build and exact rank fractions are independent passes over
-    # lineitem: overlap them (guide §2.6)
+    # digest build and exact rank fractions are independent jobs over
+    # the shared cached scan: overlap them (guide §2.6)
     rows, _n = _par(
         lambda: merged.select("l_returnflag", "state").collect(),
         lambda: exact.count(),
