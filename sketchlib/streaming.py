@@ -506,12 +506,19 @@ def neardup_stream_writer(
         spark = batch_df.sparkSession
         _enable_batch_aqe(spark, batch_shuffle_partitions, batch_adaptive)
         bid = int(batch_id)
-        # fan the trigger's files out to the batch body's width BEFORE
-        # the shingle+signature Arrow pass: a 1-file trigger otherwise
-        # runs the heaviest per-batch compute on ONE task (the file
-        # source gives one scan partition per ≤maxPartitionBytes file,
-        # guide §2.5 input skew; measured in the per-batch timing marks)
-        width = int(batch_shuffle_partitions or spark.sparkContext.defaultParallelism)
+        # fan the trigger's files out BEFORE the shingle+signature Arrow
+        # pass: a 1-file trigger otherwise runs the heaviest per-batch
+        # compute on ONE task (the file source gives one scan partition
+        # per ≤maxPartitionBytes file, guide §2.5 input skew; measured
+        # in the per-batch timing marks). The fan-out targets the FULL
+        # session parallelism, not batch_shuffle_partitions: that knob
+        # sizes the SHUFFLE stages to the trigger volume, but this is a
+        # narrow per-row compute pass that scales with cores (measured
+        # 8 vs 32 on a 32-core local run: paired A/B best-min 16.7 vs
+        # 15.2 s — a wash at sf0.1 where the pass is ~0.5 s/batch, but
+        # the fan-out scales with the trigger volume where the coupled
+        # width could not)
+        width = int(spark.sparkContext.defaultParallelism)
         if batch_df.rdd.getNumPartitions() < width:
             batch_df = batch_df.repartition(width)
         shingles = shingle_hash_frame(
